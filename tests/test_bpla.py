@@ -1,0 +1,169 @@
+"""BPLA kernel: batched implementation vs brute-force oracles + AD gradients."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from stem_kernel_tpu.models.bpla import (
+    BPLAKernel,
+    DEFAULT_BPLA_SCORE_TABLE,
+    bpla_kernel_batch,
+    bpla_profiles,
+    bpla_score_parts,
+    la_score_matrix,
+    local_alignment_exp,
+    local_alignment_exp_flank,
+    local_alignment_max,
+    pair_mask,
+)
+
+from reference_dp import bpla_exp_ref, bpla_forward_ref, bpla_max_ref
+
+rng = np.random.default_rng(1)
+
+
+def rand_scores(b, n, m, lo=-3.0, hi=4.0):
+    return rng.uniform(lo, hi, size=(b, n, m)).astype(np.float32)
+
+
+def test_exp_matches_bruteforce():
+    beta, gap, ext = 0.11, -8.0, -0.75
+    S = rand_scores(3, 9, 7)
+    mask = np.ones((3, 9, 7), bool)
+    got = np.asarray(local_alignment_exp(jnp.asarray(S), jnp.asarray(mask), beta, gap, ext))
+    want = np.array([bpla_exp_ref(S[b].astype(np.float64), beta, gap, ext) for b in range(3)])
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_flank_matches_seven_state_forward():
+    # the optimizer's kernel: 7-state forward with flanking states
+    beta, gap, ext = 0.2, -4.0, -0.5
+    S = rand_scores(2, 8, 6)
+    mask = np.ones((2, 8, 6), bool)
+    got = np.asarray(local_alignment_exp_flank(jnp.asarray(S), jnp.asarray(mask), beta, gap, ext))
+    want = np.array([bpla_forward_ref(S[b].astype(np.float64), beta, gap, ext)[0] for b in range(2)])
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_flank_padding_invariance():
+    beta, gap, ext = 0.11, -8.0, -0.75
+    S = rand_scores(1, 6, 5)
+    big = np.zeros((1, 10, 9), np.float32)
+    big[:, :6, :5] = S
+    mask = np.zeros((1, 10, 9), bool)
+    mask[:, :6, :5] = True
+    got = np.asarray(local_alignment_exp_flank(jnp.asarray(big), jnp.asarray(mask), beta, gap, ext))[0]
+    want = bpla_forward_ref(S[0].astype(np.float64), beta, gap, ext)[0]
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_exp_padding_invariance():
+    beta, gap, ext = 0.11, -8.0, -0.75
+    S = rand_scores(1, 6, 5)
+    big = np.zeros((1, 9, 9), np.float32)
+    big[:, :6, :5] = S
+    mask = np.zeros((1, 9, 9), bool)
+    mask[:, :6, :5] = True
+    got = np.asarray(local_alignment_exp(jnp.asarray(big), jnp.asarray(mask), beta, gap, ext))[0]
+    want = bpla_exp_ref(S[0].astype(np.float64), beta, gap, ext)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_max_matches_bruteforce():
+    gap, ext = -8.0, -0.75
+    S = rand_scores(3, 10, 8)
+    mask = np.ones((3, 10, 8), bool)
+    got = np.asarray(local_alignment_max(jnp.asarray(S), jnp.asarray(mask), gap, ext))
+    want = np.array([bpla_max_ref(S[b].astype(np.float64), gap, ext) for b in range(3)])
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_max_padding_invariance():
+    gap, ext = -8.0, -0.75
+    S = rand_scores(1, 5, 7)
+    big = rng.uniform(5.0, 9.0, size=(1, 9, 9)).astype(np.float32)  # junk outside
+    big[:, :5, :7] = S
+    mask = np.zeros((1, 9, 9), bool)
+    mask[:, :5, :7] = True
+    got = np.asarray(local_alignment_max(jnp.asarray(big), jnp.asarray(mask), gap, ext))[0]
+    want = bpla_max_ref(S[0].astype(np.float64), gap, ext)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_gradients_match_finite_differences():
+    b, n, m = 2, 6, 5
+    w_pair = rng.uniform(0.0, 1.0, size=(b, n, m)).astype(np.float32)
+    w_unpair = rng.uniform(-2.0, 2.0, size=(b, n, m)).astype(np.float32)
+    mask = np.ones((b, n, m), bool)
+    params = np.array([4.5, 0.11, -8.0, -0.75], np.float32)
+
+    vals, grads = bpla_kernel_batch(
+        jnp.asarray(w_pair), jnp.asarray(w_unpair), jnp.asarray(mask),
+        jnp.asarray(params), with_grads=True,
+    )
+    vals, grads = np.asarray(vals), np.asarray(grads)
+
+    def value_np(p, bi):
+        S = p[0] * w_pair[bi].astype(np.float64) + w_unpair[bi]
+        return bpla_forward_ref(S, p[1], p[2], p[3])[0]
+
+    eps = 1e-4
+    for bi in range(b):
+        np.testing.assert_allclose(vals[bi], value_np(params.astype(np.float64), bi), rtol=1e-4)
+        for k in range(4):
+            pp = params.astype(np.float64).copy()
+            pm = pp.copy()
+            pp[k] += eps
+            pm[k] -= eps
+            fd = (value_np(pp, bi) - value_np(pm, bi)) / (2 * eps)
+            np.testing.assert_allclose(grads[bi, k], fd, rtol=2e-2, atol=1e-5)
+
+
+def test_bpla_profiles():
+    bpp = np.zeros((4, 4))
+    bpp[0, 3] = 0.9
+    bpp[1, 2] = 0.4
+    pl, pr, pu = bpla_profiles(bpp)
+    np.testing.assert_allclose(pl, np.sqrt([0.9, 0.4, 0.0, 0.0]), rtol=1e-6)
+    np.testing.assert_allclose(pr, np.sqrt([0.0, 0.0, 0.4, 0.9]), rtol=1e-6)
+    np.testing.assert_allclose(pu**2, [0.1, 0.6, 0.6, 0.1], atol=1e-6)
+
+
+def test_la_score_empty_column_is_zero():
+    px = np.zeros((1, 3, 4), np.float32)
+    px[0, 0, 0] = 1.0  # only position 0 non-empty
+    py = np.ones((1, 2, 4), np.float32) * 0.25
+    S = np.asarray(la_score_matrix(jnp.asarray(px), jnp.asarray(py), jnp.asarray(DEFAULT_BPLA_SCORE_TABLE)))
+    assert S[0, 1, 0] == 0.0 and S[0, 2, 1] == 0.0
+    assert S[0, 0, 0] != 0.0
+
+
+def test_kernel_symmetry_full_pipeline():
+    n, m = 11, 9
+    bpp_x = np.triu(rng.uniform(0, 0.2, (n, n)), 1)
+    bpp_y = np.triu(rng.uniform(0, 0.2, (m, m)), 1)
+    L = 12
+
+    def pack(seq_prof, bpp, ln):
+        pl, pr, pu = bpla_profiles(bpp)
+        d = {
+            "profile": np.zeros((1, L, 4), np.float32),
+            "p_left": np.zeros((1, L), np.float32),
+            "p_right": np.zeros((1, L), np.float32),
+            "p_unpair": np.zeros((1, L), np.float32),
+            "length": np.array([ln]),
+        }
+        d["profile"][0, :ln] = seq_prof
+        d["p_left"][0, :ln] = pl
+        d["p_right"][0, :ln] = pr
+        d["p_unpair"][0, :ln] = pu
+        return {k: jnp.asarray(v) for k, v in d.items()}
+
+    prof_x = np.eye(4, dtype=np.float32)[rng.integers(0, 4, n)]
+    prof_y = np.eye(4, dtype=np.float32)[rng.integers(0, 4, m)]
+    x = pack(prof_x, bpp_x, n)
+    y = pack(prof_y, bpp_y, m)
+    k = BPLAKernel()
+    kxy = float(np.asarray(k(x, y))[0])
+    kyx = float(np.asarray(k(y, x))[0])
+    np.testing.assert_allclose(kxy, kyx, rtol=1e-5)
+    assert kxy > 0
