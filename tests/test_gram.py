@@ -1,0 +1,103 @@
+"""Gram engine: batching, sharding over the CPU mesh, I/O, end-to-end."""
+
+import numpy as np
+
+import jax
+
+from stem_kernel_tpu.gram.engine import PairKernelEngine, normalize_gram
+from stem_kernel_tpu.gram.io import read_precomputed, write_precomputed, write_norm
+from stem_kernel_tpu.io.profile import profile_from_alignment
+from stem_kernel_tpu.models.string_kernel import StringKernel
+from stem_kernel_tpu.parallel.mesh import default_mesh
+
+rng = np.random.default_rng(7)
+
+
+def make_features(n=10, lmax=16):
+    seqs = ["".join(rng.choice(list("acgu"), size=rng.integers(8, lmax))) for _ in range(n)]
+    P = np.zeros((n, lmax, 4), np.float32)
+    lens = np.zeros(n, np.int32)
+    for i, s in enumerate(seqs):
+        P[i, : len(s)] = profile_from_alignment([s])[:, :4]
+        lens[i] = len(s)
+    return {"profile": P, "length": lens}, seqs
+
+
+def string_kernel_fn():
+    k = StringKernel(0.8, alpha=0.2)
+
+    def fn(x, y):
+        return k(x["profile"], x["length"], y["profile"], y["length"])
+
+    return fn
+
+
+def test_gram_symmetric_and_matches_pairwise():
+    feats, _ = make_features(8)
+    eng = PairKernelEngine(string_kernel_fn(), feats, batch_size=16)
+    g = eng.gram()
+    np.testing.assert_allclose(g, g.T, rtol=1e-6)
+    # spot-check individual entries
+    k = string_kernel_fn()
+    import jax.numpy as jnp
+
+    for (i, j) in [(0, 0), (2, 5), (7, 1)]:
+        v = np.asarray(
+            k(
+                {kk: jnp.asarray(vv[i : i + 1]) for kk, vv in feats.items()},
+                {kk: jnp.asarray(vv[j : j + 1]) for kk, vv in feats.items()},
+            )
+        )[0]
+        np.testing.assert_allclose(g[i, j], v, rtol=1e-5)
+
+
+def test_gram_normalized_diag_one():
+    feats, _ = make_features(6)
+    eng = PairKernelEngine(string_kernel_fn(), feats, batch_size=8)
+    g = eng.gram(normalize=True)
+    np.testing.assert_allclose(np.diag(g), 1.0, rtol=1e-5)
+
+
+def test_gram_sharded_matches_unsharded():
+    feats, _ = make_features(9)
+    mesh = default_mesh(jax.devices())
+    assert mesh.size == 8
+    eng0 = PairKernelEngine(string_kernel_fn(), feats, batch_size=16)
+    eng1 = PairKernelEngine(string_kernel_fn(), feats, batch_size=16, mesh=mesh)
+    np.testing.assert_allclose(eng0.gram(), eng1.gram(), rtol=1e-5)
+
+
+def test_rows_and_diagonal_with_sv_restriction():
+    feats, _ = make_features(7)
+    test_feats, _ = make_features(3)
+    eng = PairKernelEngine(string_kernel_fn(), feats, batch_size=8)
+    g = eng.gram()
+    d = eng.diagonal()
+    np.testing.assert_allclose(d, np.diag(g), rtol=1e-5)
+    sv = np.array([1, 4, 6])
+    d_sv = eng.diagonal(sv_index=sv)
+    assert np.all(d_sv[[0, 2, 3, 5]] == 0)
+    np.testing.assert_allclose(d_sv[sv], np.diag(g)[sv], rtol=1e-5)
+    rows, selfv = eng.rows(test_feats, sv_index=sv)
+    assert rows.shape == (3, 7)
+    assert np.all(rows[:, [0, 2, 3, 5]] == 0)
+    assert np.all(selfv > 0)
+
+
+def test_precomputed_io_roundtrip(tmp_path):
+    g = rng.uniform(0, 2, (5, 5))
+    g = (g + g.T) / 2
+    labels = ["+1", "+1", "-1", "-1", "-1"]
+    for suffix in ["", ".gz", ".bz2"]:
+        path = str(tmp_path / f"m.txt{suffix}")
+        write_precomputed(path, labels, g)
+        l2, g2 = read_precomputed(path)
+        assert l2 == labels
+        np.testing.assert_allclose(g2, g, rtol=1e-12)
+
+
+def test_norm_file(tmp_path):
+    path = str(tmp_path / "n.txt")
+    write_norm(path, np.array([1.5, 2.5]))
+    vals = [float(l) for l in open(path)]
+    assert vals == [1.5, 2.5]

@@ -1,0 +1,134 @@
+"""SVM stack: SMO vs generic QP, KKT conditions, model I/O round-trip."""
+
+import numpy as np
+import pytest
+
+from stem_kernel_tpu.svm.solver import smo_solve
+from stem_kernel_tpu.svm.train import (
+    sigmoid_train,
+    svm_cross_validation,
+    svm_predict_probability,
+    svm_predict_values,
+    svm_train,
+)
+from stem_kernel_tpu.svm.model import load_model, load_sv_index, save_model
+
+rng = np.random.default_rng(3)
+
+
+def random_problem(n=24, seed=3):
+    r = np.random.default_rng(seed)
+    X = r.normal(size=(n, 3))
+    X[: n // 2] += 1.2
+    y = np.concatenate([np.ones(n // 2), -np.ones(n - n // 2)])
+    K = X @ X.T
+    return K, y, X
+
+
+def test_smo_kkt_conditions():
+    K, y, _ = random_problem()
+    C = 1.0
+    res = smo_solve(K, y, -np.ones(len(y)), C, C, eps=1e-6)
+    a = res.alpha
+    assert np.all(a >= -1e-9) and np.all(a <= C + 1e-9)
+    assert abs(np.dot(a, y)) < 1e-8
+    # KKT: free SVs have y_i f(x_i) == 1
+    f = K @ (a * y) - res.rho
+    free = (a > 1e-6) & (a < C - 1e-6)
+    if free.any():
+        np.testing.assert_allclose(y[free] * f[free], 1.0, atol=1e-3)
+    # bound conditions
+    assert np.all(y[a < 1e-9] * f[a < 1e-9] >= 1 - 1e-3)
+    assert np.all(y[a > C - 1e-9] * f[a > C - 1e-9] <= 1 + 1e-3)
+
+
+def test_smo_matches_generic_qp():
+    scipy_opt = pytest.importorskip("scipy.optimize")
+    K, y, _ = random_problem(n=16, seed=7)
+    C = 0.7
+    res = smo_solve(K, y, -np.ones(len(y)), C, C, eps=1e-8)
+    Q = np.outer(y, y) * K
+
+    def obj(a):
+        return 0.5 * a @ Q @ a - a.sum()
+
+    def grad(a):
+        return Q @ a - 1.0
+
+    cons = [{"type": "eq", "fun": lambda a: a @ y, "jac": lambda a: y}]
+    sol = scipy_opt.minimize(
+        obj, np.zeros(len(y)), jac=grad, bounds=[(0, C)] * len(y),
+        constraints=cons, method="SLSQP", options={"maxiter": 500, "ftol": 1e-12},
+    )
+    np.testing.assert_allclose(obj(res.alpha), sol.fun, rtol=1e-5, atol=1e-8)
+    # decision values agree
+    f_smo = K @ (res.alpha * y)
+    f_qp = K @ (sol.x * y)
+    np.testing.assert_allclose(f_smo, f_qp, atol=5e-3)
+
+
+def test_train_predict_separable():
+    K, y, _ = random_problem(n=30, seed=11)
+    labels = ["+1" if v > 0 else "-1" for v in y]
+    model = svm_train(K, labels, C=10.0)
+    correct = 0
+    for i in range(len(y)):
+        pred, dec = svm_predict_values(model, K[i])
+        correct += pred == labels[i]
+    # the clusters overlap; the exact QP optimum misclassifies 4 train points
+    assert correct >= len(y) - 4
+
+
+def test_model_save_load_roundtrip(tmp_path):
+    K, y, _ = random_problem(n=20, seed=13)
+    labels = ["+1" if v > 0 else "-1" for v in y]
+    model = svm_train(K, labels, C=1.0)
+    path = str(tmp_path / "m.model")
+    save_model(path, model)
+    m2 = load_model(path)
+    np.testing.assert_array_equal(model.sv_index, m2.sv_index)
+    np.testing.assert_allclose(model.sv_coef, m2.sv_coef, rtol=1e-12)
+    np.testing.assert_allclose(model.rho, m2.rho, rtol=1e-5)
+    for i in range(len(y)):
+        p1, d1 = svm_predict_values(model, K[i])
+        p2, d2 = svm_predict_values(m2, K[i])
+        assert p1 == p2
+        np.testing.assert_allclose(d1, d2, rtol=1e-5)
+    svs = load_sv_index([path])
+    assert set(svs) == set(model.sv_index)
+
+
+def test_probability_calibration():
+    K, y, _ = random_problem(n=40, seed=17)
+    labels = ["+1" if v > 0 else "-1" for v in y]
+    model = svm_train(K, labels, C=1.0, probability=True)
+    pred, prob = svm_predict_probability(model, K[0])
+    assert prob.shape == (2,)
+    np.testing.assert_allclose(prob.sum(), 1.0, rtol=1e-6)
+    assert prob[model.labels.index(labels[0])] > 0.5
+
+
+def test_sigmoid_train_monotone():
+    dec = np.linspace(-2, 2, 50)
+    y = np.where(dec + 0.1 * rng.normal(size=50) > 0, 1.0, -1.0)
+    A, B = sigmoid_train(dec, y)
+    assert A < 0  # higher decision value -> higher P(y=+1)
+
+
+def test_cross_validation_runs():
+    K, y, _ = random_problem(n=30, seed=23)
+    labels = ["+1" if v > 0 else "-1" for v in y]
+    preds = svm_cross_validation(K, labels, 5, C=10.0)
+    acc = np.mean([p == l for p, l in zip(preds, labels)])
+    assert acc > 0.7
+
+
+def test_multiclass_ovo():
+    r = np.random.default_rng(29)
+    X = np.concatenate([r.normal(size=(10, 2)) + c for c in [(0, 3), (3, 0), (-3, -3)]])
+    labels = ["a"] * 10 + ["b"] * 10 + ["c"] * 10
+    K = X @ X.T
+    model = svm_train(K, labels, C=10.0)
+    assert model.nr_class == 3
+    correct = sum(svm_predict_values(model, K[i])[0] == labels[i] for i in range(30))
+    assert correct >= 27
