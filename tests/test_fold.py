@@ -1,0 +1,135 @@
+"""McCaskill fold: DP vs exact enumeration, AD identity, batching, padding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stem_kernel_tpu.fold.mccaskill import (
+    _PARAMS_REGISTRY,
+    _inside,
+    _prep,
+    _register,
+    mccaskill_bpp,
+    mccaskill_bpp_batch,
+    mccaskill_logZ,
+)
+from stem_kernel_tpu.fold.params import default_params
+from stem_kernel_tpu.io.alphabet import encode
+
+from fold_oracle import brute_force_Z_bpp
+
+PARAMS = default_params()
+
+SEQS = ["gggaaaccc", "gcgcaaagcgc", "acguacguacgu", "ggcaaagccaugcaaaagcau"]
+
+
+@pytest.mark.parametrize("seq", SEQS)
+def test_logZ_and_bpp_match_enumeration(seq):
+    codes = encode(seq)
+    want_z, want_b = brute_force_Z_bpp(codes, PARAMS)
+    got_b, got_z = mccaskill_bpp(codes, params=PARAMS, dtype=jnp.float64)
+    np.testing.assert_allclose(got_z, want_z, rtol=1e-10)
+    np.testing.assert_allclose(got_b, want_b, atol=1e-12)
+
+
+def test_bpp_equals_grad_of_logZ():
+    # independent oracle: bpp[i,j] = d logZ / d w_extra[i,j]
+    codes = jnp.asarray(encode("ggcgaaagcaucc"), jnp.int32)
+    n = codes.shape[0]
+    hp_vec, ia, ib, ipen = _prep(PARAMS, n, jnp.float64)
+    key = _register(PARAMS)
+
+    def logz(w):
+        *_, z = _inside(codes, jnp.asarray(n), key, w, hp_vec, ia, ib, ipen)
+        return z
+
+    g = jax.grad(logz)(jnp.zeros((n, n), jnp.float64))
+    bpp, _ = mccaskill_bpp(np.asarray(codes), params=PARAMS, dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(g), bpp, atol=1e-10)
+
+
+def test_w_extra_shifts_probability():
+    codes = encode("gggaaaccc")
+    b0, _ = mccaskill_bpp(codes, params=PARAMS, dtype=jnp.float64)
+    w = np.zeros((9, 9))
+    w[0, 8] = 3.0  # strongly favour the outermost pair
+    b1, _ = mccaskill_bpp(codes, params=PARAMS, w_extra=w, dtype=jnp.float64)
+    assert b1[0, 8] > b0[0, 8]
+
+
+def test_padding_invariance():
+    seq = "gcgcaaagcgc"
+    codes = encode(seq)
+    b_exact, z_exact = mccaskill_bpp(codes, params=PARAMS, dtype=jnp.float64)
+    padded = np.concatenate([codes, np.zeros(5, np.uint8)])
+    b_pad, z_pad = mccaskill_bpp(padded, length=len(seq), params=PARAMS, dtype=jnp.float64)
+    np.testing.assert_allclose(z_pad, z_exact, rtol=1e-12)
+    np.testing.assert_allclose(b_pad[: len(seq), : len(seq)], b_exact, atol=1e-12)
+    assert np.all(b_pad[len(seq):, :] == 0) and np.all(b_pad[:, len(seq):] == 0)
+
+
+def test_batch_matches_single():
+    seqs = ["gggaaaccc", "gcgcaaagcgc"]
+    n = 12
+    codes = np.zeros((2, n), np.uint8)
+    lens = np.zeros(2, np.int32)
+    for i, s in enumerate(seqs):
+        codes[i, : len(s)] = encode(s)
+        lens[i] = len(s)
+    bpps, zs = mccaskill_bpp_batch(codes, lens, params=PARAMS, dtype=jnp.float64)
+    for i, s in enumerate(seqs):
+        b1, z1 = mccaskill_bpp(encode(s), params=PARAMS, dtype=jnp.float64)
+        np.testing.assert_allclose(zs[i], z1, rtol=1e-12)
+        np.testing.assert_allclose(bpps[i, : len(s), : len(s)], b1, atol=1e-12)
+
+
+def test_probability_mass_bounds():
+    # per-position total pairing probability must lie in [0, 1]
+    seq = "gggcuauuagcucagtggtagagcgcgugcuuagcaugcacgaggcccuggguucgauccccaggagucccacca"
+    codes = encode(seq)
+    bpp, z = mccaskill_bpp(codes, params=PARAMS, dtype=jnp.float64)
+    per_pos = np.triu(bpp, 1).sum(0) + np.triu(bpp, 1).sum(1)
+    assert per_pos.max() <= 1.0 + 1e-9
+    assert per_pos.min() >= -1e-12
+    assert np.isfinite(z)
+    # a tRNA-like sequence should have substantial structure
+    assert per_pos.mean() > 0.3
+
+
+def test_f32_close_to_f64():
+    seq = "ggcaaagccaugcaaaagcau"
+    codes = encode(seq)
+    b64, z64 = mccaskill_bpp(codes, params=PARAMS, dtype=jnp.float64)
+    b32, z32 = mccaskill_bpp(codes, params=PARAMS, dtype=jnp.float32)
+    np.testing.assert_allclose(z32, z64, rtol=1e-4)
+    np.testing.assert_allclose(b32, b64, atol=2e-4)
+
+
+def test_alignment_averaging():
+    from stem_kernel_tpu.fold.bpmatrix import BPMatrixOptions, bpp_for_alignment
+    from stem_kernel_tpu.io.profile import Alignment
+
+    # two identical rows, one with a gap column: average maps through idx maps
+    aln = Alignment(rows=["gggaaaccc-", "gggaaacccc"])
+    bpp = bpp_for_alignment(aln, BPMatrixOptions(pad_multiple=4))
+    assert bpp.shape == (10, 10)
+    b1, _ = mccaskill_bpp(encode("gggaaaccc"), params=PARAMS)
+    # the first row contributes its 9x9 matrix into columns 0..8
+    assert bpp[0, 8] > 0.2
+    np.testing.assert_allclose(bpp[:9, :9], (np.asarray(b1, np.float64) +
+        np.asarray(mccaskill_bpp(encode("gggaaacccc"), params=PARAMS)[0][:9, :9], np.float64)) / 2, atol=2e-4)
+
+
+def test_batched_alignment_bpps():
+    from stem_kernel_tpu.fold.bpmatrix import bpp_for_alignments
+    from stem_kernel_tpu.io.profile import Alignment
+
+    from stem_kernel_tpu.fold.bpmatrix import bpp_for_alignment
+
+    alns = [Alignment(rows=["gggaaaccc"]), Alignment(rows=["gcgcaaagcgc"])]
+    bpps = bpp_for_alignments(alns)
+    for a, b in zip(alns, bpps):
+        assert b.shape == (a.length, a.length)
+        single = bpp_for_alignment(a)
+        np.testing.assert_allclose(b, single, atol=1e-12)
