@@ -106,7 +106,10 @@ def local_alignment_exp(
     be = jnp.exp(beta * jnp.reshape(jnp.asarray(ext, dt), (-1, 1)))
 
     e = jnp.exp(beta[..., None] * scores) * mask.astype(dt)  # (B, Lx, Ly)
-    zero_col = jnp.zeros((bsz, 1), dtype=dt)
+    # derive zero inits from the input so scan carries inherit any manual-axis
+    # (shard_map) varying annotations of the sharded batch
+    zero_state = jnp.concatenate([e[:, 0, :] * 0, jnp.zeros((bsz, 1), dt)], axis=-1)
+    zero_col = zero_state[:, :1]
 
     def row_step(carry, e_row):
         m_prev, x_prev, y_prev, acc = carry  # (B, Ly+1) states incl. j=0 col
@@ -117,12 +120,7 @@ def local_alignment_exp(
         y_row = jnp.concatenate([zero_col, linear_recurrence(be, q)], axis=-1)
         return (m_row, x_row, y_row, acc + jnp.sum(m_row, axis=-1)), None
 
-    init = (
-        jnp.zeros((bsz, ly + 1), dt),
-        jnp.zeros((bsz, ly + 1), dt),
-        jnp.zeros((bsz, ly + 1), dt),
-        jnp.zeros((bsz,), dt),
-    )
+    init = (zero_state, zero_state, zero_state, zero_state[:, 0])
     (_, _, _, acc), _ = jax.lax.scan(row_step, init, jnp.swapaxes(e, 0, 1))
     return 1.0 + acc
 
@@ -155,7 +153,8 @@ def local_alignment_exp_flank(
     be = jnp.exp(beta * jnp.reshape(jnp.asarray(ext, dt), (-1, 1)))
 
     e = jnp.exp(beta[..., None] * scores) * mask.astype(dt)
-    zero_col = jnp.zeros((bsz, 1), dtype=dt)
+    zero_state = jnp.concatenate([e[:, 0, :] * 0, jnp.zeros((bsz, 1), dt)], axis=-1)
+    zero_col = zero_state[:, :1]
 
     # Flank counts LX[i-1][j-1] + LY[i-1][j-1] feeding M at row i, column j.
     # Row 0 has LX = [1,0,0,...], LY = 1 everywhere; rows i >= 1 have LX = 1
@@ -182,8 +181,8 @@ def local_alignment_exp_flank(
         [flank_row0[None, :], jnp.broadcast_to(flank_rest, (max(lx - 1, 0), ly))], axis=0
     )
     # M[0][0] = 1 (the "start here" unit) enters row 1's diagonal via m_prev.
-    m0 = jnp.zeros((bsz, ly + 1), dt).at[:, 0].set(1.0)
-    init = (m0, jnp.zeros((bsz, ly + 1), dt), jnp.zeros((bsz, ly + 1), dt), jnp.zeros((bsz,), dt))
+    m0 = zero_state.at[:, 0].set(1.0)
+    init = (m0, zero_state, zero_state, zero_state[:, 0])
     (_, _, _, acc), _ = jax.lax.scan(row_step, init, (jnp.swapaxes(e, 0, 1), flanks))
     return 1.0 + acc
 
@@ -197,7 +196,8 @@ def local_alignment_max(
     dt = scores.dtype
     gap = jnp.asarray(gap, dt)
     ext = jnp.asarray(ext, dt)
-    zero_col = jnp.zeros((bsz, 1), dtype=dt)
+    zero_state = jnp.concatenate([scores[:, 0, :] * 0, jnp.zeros((bsz, 1), dt)], axis=-1)
+    zero_col = zero_state[:, :1]
     maskf = mask.astype(dt)
 
     def row_step(carry, xs):
@@ -211,12 +211,7 @@ def local_alignment_max(
         best = jnp.maximum(best, jnp.max(m_row[:, 1:] * mask_row + NEG_LARGE * (1 - mask_row), axis=-1))
         return (m_row, x_row, y_row, best), None
 
-    init = (
-        jnp.zeros((bsz, ly + 1), dt),
-        jnp.zeros((bsz, ly + 1), dt),
-        jnp.zeros((bsz, ly + 1), dt),
-        jnp.zeros((bsz,), dt),
-    )
+    init = (zero_state, zero_state, zero_state, zero_state[:, 0])
     (_, _, _, best), _ = jax.lax.scan(
         row_step, init, (jnp.swapaxes(scores, 0, 1), jnp.swapaxes(maskf, 0, 1))
     )

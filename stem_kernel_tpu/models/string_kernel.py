@@ -97,10 +97,12 @@ def gap_weighted_string_kernel(scores: jax.Array, gap: jax.Array) -> jax.Array:
     dt = scores.dtype
     gap = jnp.asarray(gap, dtype=dt)
 
-    # Boundary row 0: K0 = 1, G0[0][j] = gap^j for j = 0..Ly.
-    ones_col = jnp.ones((bsz, 1), dtype=dt)
-    k0 = jnp.ones((bsz, ly + 1), dtype=dt)
-    g0 = gap ** jnp.arange(ly + 1, dtype=dt)[None, :] * jnp.ones((bsz, 1), dtype=dt)
+    # Boundary row 0: K0 = 1, G0[0][j] = gap^j for j = 0..Ly.  Inits derive
+    # from the input so scan carries inherit shard_map varying annotations.
+    zero_state = jnp.concatenate([scores[:, 0, :] * 0, jnp.zeros((bsz, 1), dt)], axis=-1)
+    ones_col = zero_state[:, :1] + 1.0
+    k0 = zero_state + 1.0
+    g0 = zero_state + gap ** jnp.arange(ly + 1, dtype=dt)[None, :]
 
     def row_step(carry, s_row):
         k0_prev, g0_prev = carry  # (B, Ly+1)
