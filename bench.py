@@ -4,11 +4,19 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 The workload is the reference's hottest loop — per-pair local-alignment DP
 over a Gram tile (/root/reference/bpla_kernel/bpla_kernel.cpp:64-115 inside
-the pair loop of common/kernel_matrix.cpp:44-56).  Baseline: the reference's
-C++ DP updates ~5 states/cell serially; on one modern core that is roughly
-50M cells/s, i.e. ~3000 pairs/s at the benchmark geometry (128x128 cells).
-vs_baseline = measured pairs/s / 3000 (reference single-core estimate; the
-repo publishes no numbers of its own — see BASELINE.md).
+the pair loop of common/kernel_matrix.cpp:44-56).
+
+Methodology: the TPU here sits behind a tunnel with ~30 ms round-trip
+latency and an async dispatch whose block_until_ready returns early, so a
+single dispatch cannot be timed.  K tile evaluations are chained INSIDE one
+jit (data dependency between iterations prevents elision), the scalar result
+is fetched to host to force completion, and the best of several runs is
+divided by K.
+
+Baseline: the reference's C++ DP updates ~5 states/cell serially; at ~50M
+cells/s on one modern core that is ~3000 pairs/s for this 128x128 geometry.
+vs_baseline = measured pairs/s / 3000 (the repo publishes no numbers of its
+own — see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -23,6 +31,7 @@ import jax.numpy as jnp
 
 BATCH = 512
 LEN = 128
+CHAIN = 20
 BASELINE_PAIRS_PER_SEC = 3000.0
 
 
@@ -35,21 +44,27 @@ def main() -> None:
     mask = jnp.ones((BATCH, LEN, LEN), bool)
     alpha, beta, gap, ext = 4.5, 0.11, -8.0, -0.75
 
-    @jax.jit
-    def tile(w_pair, w_unpair, mask):
-        return local_alignment_exp(alpha * w_pair + w_unpair, mask, beta, gap, ext)
+    def chained(a, b, m):
+        def body(_, carry):
+            a2, acc = carry
+            v = local_alignment_exp(alpha * a2 + b, m, beta, gap, ext)
+            # feed a (numerically negligible) function of the output back into
+            # the next iteration so XLA cannot elide repeated tiles
+            return a2 + v.sum() * 0 + 1e-12, acc + v.sum()
 
-    # warmup/compile
-    tile(w_pair, w_unpair, mask).block_until_ready()
+        _, acc = jax.lax.fori_loop(0, CHAIN, body, (a, jnp.float32(0)))
+        return acc
 
-    # the shared-tunnel TPU is noisy: take the best of several timed reps
+    f = jax.jit(chained)
+    float(f(w_pair, w_unpair, mask))  # compile + warmup
+
     best = float("inf")
-    for _ in range(8):
+    for _ in range(4):
         t0 = time.perf_counter()
-        tile(w_pair, w_unpair, mask).block_until_ready()
+        float(f(w_pair, w_unpair, mask))  # host fetch forces completion
         best = min(best, time.perf_counter() - t0)
 
-    pairs_per_sec = BATCH / best
+    pairs_per_sec = BATCH * CHAIN / best
     print(
         json.dumps(
             {
