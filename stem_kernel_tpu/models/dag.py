@@ -1,0 +1,296 @@
+"""Structure-DAG construction from base-pair probability matrices.
+
+Host-side equivalent of the reference's DAG builder
+(/root/reference/stem_kernel_lite/data.cpp): candidate base pairs with
+P >= threshold become nodes (stems), unpaired spans become loops/leaves, and
+edges carry gap counts; plus the Profiler quantities (per-position unpaired
+probability, weighted base-pair frequency profiles) and the postprocessing
+passes find_root / find_max_parent / fill_weight
+(data.cpp:396-453).
+
+The output is an array encoding designed for the TPU kernel:
+
+- dense per-node features (bp_freq as a flat 16-vector, weights, spans),
+- dense (N, N) edge-coefficient matrices A (match path) and B (gap path),
+- the **gap-closure** V = (I - B)^{-1} and **root-reach** vector
+  u = (I - T^T)^{-1} r (T = unweighted child matrix, r = root indicator).
+  Both inverses exist because the DAGs are acyclic (B, T strictly
+  triangular in topological order), and they are what turns the reference's
+  per-cell IX/IY recursions (stem_kernel.cpp:61-86) into closed-form
+  matmuls on the MXU — see models/stem_kernel.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..io.alphabet import IUPAC_WEIGHT, N_RNA, RNA_GAP, encode
+from ..io.profile import Alignment, index_map
+
+
+@dataclass
+class StemDAG:
+    """Array-encoded structure DAG for one example (alignment)."""
+
+    n_nodes: int
+    first: np.ndarray  # (N,) span start (alignment columns)
+    last: np.ndarray  # (N,) span end
+    weight: np.ndarray  # (N,) node weight (loop profile product)
+    bp_freq: np.ndarray  # (N, 16) flattened 4x4 base-pair frequency profile
+    nbp_frac: np.ndarray  # (N,) gap fraction at `first` (profile[first][GAP]/n_rows)
+    is_leaf: np.ndarray  # (N,) bool
+    edge_to: np.ndarray  # (E,) child node index
+    edge_gaps: np.ndarray  # (E,) gap count of the edge
+    edge_weight: np.ndarray  # (E,) edge weight (1.0 in the reference)
+    edge_ptr: np.ndarray  # (N+1,) CSR row pointers
+    root: np.ndarray  # (R,) root node indices
+    max_pa: np.ndarray  # (N,) liveness bound (diagnostic parity)
+    depth: int  # max node depth in edges (match-iteration bound)
+    pos_weight: np.ndarray  # (L,) per-position loop-profile weights (string kernel)
+
+
+class _Profiler:
+    """Per-row profile quantities (Profiler, data.cpp:32-137)."""
+
+    def __init__(self, row: str, bpp: np.ndarray, w: float = 1.0):
+        self.row = row
+        self.bpp = bpp  # row's own (ungapped) matrix OR the shared column matrix
+        self.w = w
+        self.idx = index_map(row)
+        codes = encode(row)
+        self.pr = IUPAC_WEIGHT[codes]  # (L, 4); zero rows at gaps
+        L = len(row)
+        self.nbp = np.ones(L, dtype=np.float64)
+        own = bpp.shape[0] != L  # per-row ungapped matrix
+        for i in range(L):
+            if self.idx[i] < 0:
+                continue
+            if own:
+                ii = self.idx[i]
+                tot = bpp[ii, :].sum() + bpp[:, ii].sum()
+            else:
+                tot = bpp[i, :].sum() + bpp[:, i].sum()
+            self.nbp[i] = max(1.0 - tot, 0.0)
+
+    def loop_profile(self, i: int) -> float:
+        return self.w * self.nbp[i]
+
+    def bp_profile(self, i: int, j: int) -> np.ndarray:
+        """4x4 weighted base-pair frequency contribution at columns (i, j)."""
+        if self.idx[i] < 0 or self.idx[j] < 0:
+            return np.zeros((N_RNA, N_RNA))
+        if self.bpp.shape[0] != len(self.row):
+            p = self.bpp[self.idx[i], self.idx[j]]
+        else:
+            p = self.bpp[i, j]
+        return self.w * p * np.outer(self.pr[i], self.pr[j])
+
+
+def build_dag(
+    aln: Alignment,
+    avg_bpp: np.ndarray,
+    row_bpps: list[np.ndarray] | None,
+    th: float = 0.01,
+) -> StemDAG:
+    """Build the structure DAG of an alignment.
+
+    ``avg_bpp``: (L, L) upper-triangular matrix over alignment columns used
+    for thresholding; ``row_bpps``: per-row ungapped matrices for profile
+    quantities (None -> every row uses ``avg_bpp``, the alifold case).
+    """
+    L = aln.length
+    rows = aln.rows
+    if row_bpps is None:
+        profs = [_Profiler(r, avg_bpp) for r in rows]
+    else:
+        profs = [_Profiler(r, b) for r, b in zip(rows, row_bpps)]
+    total_w = sum(p.w for p in profs)
+
+    # --- bottom-up candidate-pair scan (DAGBuilder::initialize, data.cpp:163-191)
+    bp_children: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    head: list[list[tuple[int, int]]] = [[] for _ in range(L)]
+    ch: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for j in range(1, L):
+        for i in range(j - 1, -1, -1):
+            if avg_bpp[i, j] >= th:
+                bp_children[(i, j)] = ch.pop((i + 1, j - 1), [])
+                ch.setdefault((i, j), []).append((i, j))
+                head[i].append((i, j))
+            else:
+                lst = []
+                upper = ch.get((i + 1, j), [])
+                if head[i]:
+                    widest_end = head[i][-1][1]
+                    lst.extend(x for x in upper if x[1] >= widest_end)
+                else:
+                    lst.extend(upper)
+                lst.extend(head[i])
+                ch[(i, j)] = lst
+
+    # --- depth-first node emission (build_helper, data.cpp:231-258)
+    first_l: list[int] = []
+    last_l: list[int] = []
+    weight_l: list[float] = []
+    bp_freq_l: list[np.ndarray] = []
+    edges_l: list[list[tuple[int, int, float]]] = []  # (to, gaps, w)
+    visited: dict[tuple[int, int], int] = {}
+
+    def loop_profile(i: int) -> float:
+        v = sum(p.loop_profile(i) for p in profs if p.idx[i] >= 0)
+        return v / total_w
+
+    def bp_profile(i: int, j: int) -> np.ndarray:
+        acc = np.zeros((N_RNA, N_RNA))
+        for p in profs:
+            acc += p.bp_profile(i, j)
+        return acc / total_w
+
+    def emit(pos: tuple[int, int]) -> int:
+        if pos in visited:
+            return visited[pos]
+        i, j = pos
+        if i == j:  # leaf
+            first_l.append(i)
+            last_l.append(j)
+            weight_l.append(1.0)
+            bp_freq_l.append(np.zeros((N_RNA, N_RNA)))
+            edges_l.append([])
+        elif not bp_children.get(pos):  # loop: one edge to leaf (i, i)
+            child = emit((i, i))
+            first_l.append(i)
+            last_l.append(j)
+            weight_l.append(loop_profile(i) * loop_profile(j))
+            bp_freq_l.append(bp_profile(i, j))
+            edges_l.append([(child, j - i - 1, 1.0)])
+        else:  # stem: edges to child pairs
+            kids = []
+            for c in bp_children[pos]:
+                kidx = emit(c)
+                gaps = (c[0] - i - 1) + (j - c[1] - 1)
+                kids.append((kidx, gaps, 1.0))
+            first_l.append(i)
+            last_l.append(j)
+            weight_l.append(loop_profile(i) * loop_profile(j))
+            bp_freq_l.append(bp_profile(i, j))
+            edges_l.append(kids)
+        visited[pos] = len(first_l) - 1
+        return visited[pos]
+
+    for i in range(L):
+        for pos in reversed(head[i]):
+            emit(pos)
+
+    n = len(first_l)
+    if n == 0:  # completely unstructured input: single leaf so shapes exist
+        emit((0, 0))
+        n = 1
+
+    first = np.asarray(first_l, np.int32)
+    last = np.asarray(last_l, np.int32)
+    weight = np.asarray(weight_l, np.float32)
+    bp_freq = np.stack(bp_freq_l).reshape(n, N_RNA * N_RNA).astype(np.float32)
+    is_leaf = np.asarray([len(e) == 0 for e in edges_l])
+
+    edge_to, edge_gaps, edge_w, edge_ptr = [], [], [], [0]
+    for e in edges_l:
+        for (to, gaps, w) in e:
+            edge_to.append(to)
+            edge_gaps.append(gaps)
+            edge_w.append(w)
+        edge_ptr.append(len(edge_to))
+    edge_to = np.asarray(edge_to, np.int32)
+    edge_gaps = np.asarray(edge_gaps, np.int32)
+    edge_w = np.asarray(edge_w, np.float32)
+    edge_ptr = np.asarray(edge_ptr, np.int32)
+
+    # roots / max parent (find_root, find_max_parent — data.cpp:396-435)
+    is_root = np.ones(n, bool)
+    is_root[edge_to] = False
+    root = np.flatnonzero(is_root).astype(np.int32)
+    max_pa = np.full(n, -1, np.int64)
+    for parent in range(n):
+        for e in range(edge_ptr[parent], edge_ptr[parent + 1]):
+            max_pa[edge_to[e]] = max(max_pa[edge_to[e]], parent)
+
+    # depth (children precede parents in topological emission order)
+    depth_arr = np.zeros(n, np.int32)
+    for parent in range(n):
+        lo, hi = edge_ptr[parent], edge_ptr[parent + 1]
+        if hi > lo:
+            depth_arr[parent] = 1 + depth_arr[edge_to[lo:hi]].max()
+
+    # per-row gap fraction at `first` (SubstNodeScore gap correction uses
+    # seq[first][RNA_GAP] / n_seqs, score_table.cpp:190-197)
+    gap_count = np.zeros(L)
+    for p in profs:
+        gap_count += np.array([1.0 if p.idx[i] < 0 else 0.0 for i in range(L)])
+    nbp_frac = (gap_count[first] / total_w).astype(np.float32)
+
+    pos_weight = np.asarray([loop_profile(i) for i in range(L)], np.float32)
+
+    return StemDAG(
+        n_nodes=n,
+        first=first,
+        last=last,
+        weight=weight,
+        bp_freq=bp_freq,
+        nbp_frac=nbp_frac,
+        is_leaf=is_leaf,
+        edge_to=edge_to,
+        edge_gaps=edge_gaps,
+        edge_weight=edge_w,
+        edge_ptr=edge_ptr,
+        root=root,
+        max_pa=max_pa,
+        depth=int(depth_arr.max()) if n else 0,
+        pos_weight=pos_weight,
+    )
+
+
+def dag_matrices(dag: StemDAG, loop_gap: float, n_pad: int) -> dict[str, np.ndarray]:
+    """Dense operators for the closure-matmul stem kernel, padded to n_pad.
+
+    A[i, c]   = sum over edges i->c of gap^gaps * e_w           (match path)
+    B[i, c]   = gap^2 * node_weight[i] * A-term                 (gap path)
+    V         = (I - B)^{-1}                                    (gap closure)
+    u         = (I - T^T)^{-1} r, T unweighted, r root indicator (K-path counts)
+    L         = leaf indicator (base case K0 = G0 = 1 at leaf-leaf pairs)
+    """
+    n = dag.n_nodes
+    A = np.zeros((n_pad, n_pad), np.float64)
+    T = np.zeros((n_pad, n_pad), np.float64)
+    for parent in range(n):
+        lo, hi = dag.edge_ptr[parent], dag.edge_ptr[parent + 1]
+        for e in range(lo, hi):
+            c = dag.edge_to[e]
+            A[parent, c] += (loop_gap ** dag.edge_gaps[e]) * dag.edge_weight[e]
+            T[parent, c] += 1.0
+    gap2w = (loop_gap ** 2) * dag.weight.astype(np.float64)
+    B = A[:n, :n] * gap2w[:, None]
+    V = np.eye(n_pad)
+    V[:n, :n] = np.linalg.inv(np.eye(n) - B)
+    r = np.zeros(n_pad)
+    r[dag.root] = 1.0
+    u = np.linalg.solve(np.eye(n_pad) - T.T, r)
+    leaf = np.zeros(n_pad, np.float32)
+    leaf[:n][dag.is_leaf] = 1.0
+    feats = {
+        "A": A.astype(np.float32),
+        "V": V.astype(np.float32),
+        "u": u.astype(np.float32),
+        "r": r.astype(np.float32),
+        "leaf": leaf,
+        "bp_freq": np.zeros((n_pad, N_RNA * N_RNA), np.float32),
+        "gap2w": np.zeros(n_pad, np.float32),
+        "nbp_frac": np.zeros(n_pad, np.float32),
+        "length": np.zeros(n_pad, np.float32),
+        "valid": np.zeros(n_pad, np.float32),
+    }
+    feats["bp_freq"][:n] = dag.bp_freq
+    feats["gap2w"][:n] = gap2w.astype(np.float32)
+    feats["nbp_frac"][:n] = dag.nbp_frac
+    feats["length"][:n] = (dag.last - dag.first).astype(np.float32)
+    feats["valid"][:n] = 1.0
+    return feats
