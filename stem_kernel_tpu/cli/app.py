@@ -1,0 +1,192 @@
+"""Shared application flow: train (Gram build) and predict (test rows).
+
+Equivalent of the reference's App<Kernel, LoaderFactory>
+(/root/reference/common/framework.h:100-416):
+
+- positional grammar ``output [label file]... [--test [label file]...]``
+  (Options::parse_extra_args, framework.cpp:48-139), with glob expansion;
+- train: load examples -> Gram matrix -> optional cosine normalization ->
+  LIBSVM PRECOMPUTED output (gzip/bzip2 by suffix), with per-stage timing
+  ("elapsed time" prints, framework.h:139, 334-345);
+- predict: load train set, restrict to support vectors of provided models,
+  compute test rows + self values, normalize against train diagonals, write
+  matrix rows / norm file, and run in-process SVM prediction per model
+  (framework.h:167-306).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Mapping
+
+import numpy as np
+
+from ..gram.engine import PairKernelEngine, normalize_gram
+from ..gram.io import write_precomputed, write_rows, write_norm, _open_write
+from ..io.parsers import expand_globs, iter_alignments
+from ..io.profile import Alignment
+from ..svm.model import load_model, load_sv_index
+from ..svm.train import svm_predict_values, svm_predict_probability
+
+
+@dataclass
+class AppOptions:
+    """Common options (Options, framework.cpp:10-46)."""
+
+    output: str = ""
+    labels: list[str] = field(default_factory=list)
+    files: list[str] = field(default_factory=list)
+    ts_labels: list[str] = field(default_factory=list)
+    ts_files: list[str] = field(default_factory=list)
+    predict_mode: bool = False
+    normalize: bool = False
+    norm_output: str = ""
+    predict_only: bool = False  # --no-matrix
+    model_files: list[str] = field(default_factory=list)
+    predict_outputs: list[str] = field(default_factory=list)
+
+
+def add_common_options(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-n", "--normalize", action="store_true",
+                   help="normalize the kernel matrix")
+    p.add_argument("-x", "--norm", default="",
+                   help="set the filename for norms of test examples")
+    p.add_argument("--no-matrix", action="store_true",
+                   help="do not output matrix")
+    p.add_argument("--model", action="append", default=[],
+                   help="the model file trained by svm-train if you already have")
+    p.add_argument("--predict", action="append", default=[],
+                   help="output file name of prediction results")
+    p.add_argument("-t", "--threads", type=int, default=1,
+                   help="accepted for compatibility (parallelism is device-mesh based)")
+    # positional grammar "output [label file]... [--test ...]" is collected
+    # from unrecognized args (labels like -1 confuse argparse), mirroring the
+    # reference's collect_unrecognized pattern (stem_kernel_lite/main.cpp:152-163)
+
+
+def parse_args_with_positionals(p: argparse.ArgumentParser, argv):
+    ns, rest = p.parse_known_args(argv)
+    if not rest:
+        p.error("missing positional arguments: output [label file] ...")
+    ns.args = rest
+    return ns
+
+
+def parse_positional(ns: argparse.Namespace) -> AppOptions:
+    """parse_extra_args semantics (framework.cpp:48-139)."""
+    extra = ns.args
+    opts = AppOptions(
+        output=extra[0],
+        normalize=ns.normalize,
+        norm_output=ns.norm,
+        predict_only=ns.no_matrix,
+        model_files=list(ns.model),
+        predict_outputs=list(ns.predict),
+    )
+    if "--test" in extra:
+        opts.predict_mode = True
+        x = extra.index("--test")
+        pairs = extra[1:x]
+        ts = extra[x + 1 :]
+    else:
+        pairs = extra[1:]
+        ts = []
+    opts.labels = pairs[0::2]
+    opts.files = pairs[1::2]
+    opts.ts_labels = ts[0::2]
+    opts.ts_files = ts[1::2]
+    return opts
+
+
+def load_labeled(labels: list[str], files: list[str], verbose: bool = True):
+    """Stream examples per (label, glob) pair with per-file timing."""
+    alignments: list[Alignment] = []
+    out_labels: list[str] = []
+    for label, pattern in zip(labels, files):
+        for path in expand_globs([pattern]):
+            t0 = time.time()
+            n0 = len(alignments)
+            for aln in iter_alignments(path):
+                alignments.append(aln)
+                out_labels.append(label)
+            if verbose:
+                print(
+                    f"loading {path} as label {label} ({len(alignments)-n0} ex, "
+                    f"{time.time()-t0:.1f}s) done.",
+                    file=sys.stderr,
+                )
+    return alignments, out_labels
+
+
+# featurize: alignments -> (features dict, aux); make_kernel_fn: aux -> kernel_fn
+Featurizer = Callable[[list[Alignment]], tuple[Mapping[str, np.ndarray], object]]
+
+
+def run_app(
+    opts: AppOptions,
+    featurize: Featurizer,
+    make_kernel_fn: Callable[[object, object], Callable],
+    *,
+    batch_size: int = 256,
+    mesh=None,
+) -> None:
+    """Execute the train or predict flow."""
+    t_start = time.time()
+    train_alns, train_labels = load_labeled(opts.labels, opts.files)
+    if not opts.predict_mode:
+        feats, aux = featurize(train_alns)
+        kernel_fn = make_kernel_fn(aux)
+        eng = PairKernelEngine(kernel_fn, feats, batch_size=batch_size, mesh=mesh)
+        g = eng.gram(normalize=opts.normalize)
+        write_precomputed(opts.output, train_labels, g)
+        print(f"elapsed time: {time.time()-t_start:.1f}s", file=sys.stderr)
+        return
+
+    # ---- predict mode ----
+    sv_index = None
+    models = []
+    if opts.model_files:
+        sv_index = load_sv_index(opts.model_files)
+        models = [load_model(m) for m in opts.model_files]
+
+    test_alns, test_labels = load_labeled(opts.ts_labels, opts.ts_files)
+    # featurize jointly so padded shapes agree, then split
+    all_alns = train_alns + test_alns
+    feats, aux = featurize(all_alns)
+    n_train = len(train_alns)
+    train_feats = {k: v[:n_train] for k, v in feats.items()}
+    test_feats = {k: v[n_train:] for k, v in feats.items()}
+
+    kernel_fn = make_kernel_fn(aux)
+    eng = PairKernelEngine(kernel_fn, train_feats, batch_size=batch_size, mesh=mesh)
+    diag = eng.diagonal(sv_index=sv_index)
+    rows, self_vals = eng.rows(test_feats, sv_index=sv_index)
+
+    norm_rows = rows.copy()
+    if opts.normalize:
+        denom = np.sqrt(np.clip(diag, 1e-300, None))[None, :] * np.sqrt(
+            np.clip(self_vals, 1e-300, None)
+        )[:, None]
+        cols = np.flatnonzero(diag > 0)
+        norm_rows[:, cols] = rows[:, cols] / denom[:, cols]
+
+    if not opts.predict_only:
+        with _open_write(opts.output) as f:
+            write_rows(f, test_labels, norm_rows)
+    if opts.norm_output:
+        write_norm(opts.norm_output, self_vals)
+
+    for model, out_path in zip(models, opts.predict_outputs or
+                               [f"{opts.output}.pred{i}" for i in range(len(models))]):
+        with open(out_path, "w") as f:
+            for t, label in enumerate(test_labels):
+                if model.prob_A is not None:
+                    pred, prob = svm_predict_probability(model, norm_rows[t])
+                    f.write(f"{label} {pred} {' '.join(f'{p:g}' for p in prob)}\n")
+                else:
+                    pred, dec = svm_predict_values(model, norm_rows[t])
+                    f.write(f"{label} {dec[0]:g}\n")
+    print(f"elapsed time: {time.time()-t_start:.1f}s", file=sys.stderr)

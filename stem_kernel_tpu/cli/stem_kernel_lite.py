@@ -1,0 +1,120 @@
+"""stem_kernel_lite CLI — Gram matrices of stem (+ string) kernels.
+
+Usage mirrors /root/reference/stem_kernel_lite/main.cpp:77-231:
+
+    stem_kernel_lite [options] output label1 data1 [label2 data2 ...] \
+                     [--test label file ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..fold.bpmatrix import BPMatrixOptions
+from ..models.composite import (
+    StemLiteConfig,
+    featurize_stem_examples,
+    make_stem_lite_kernel_fn,
+)
+from .app import add_common_options, parse_args_with_positionals, parse_positional, run_app
+
+
+def add_fold_options(p: argparse.ArgumentParser) -> None:
+    """Folding options (BPMatrix::Options::add_options, bpmatrix.cpp:45-82)."""
+    p.add_argument("--noGU", action="store_true",
+                   help="disallow GU wobble base-pairs (energy-model flag)")
+    p.add_argument("--noClosingGU", action="store_true",
+                   help="disallow closing GU base-pairs (accepted; approximated)")
+    p.add_argument("--noLonelyPairs", action="store_true",
+                   help="disallow lonely base-pairs (accepted; approximated)")
+    p.add_argument("--use-alifold", action="store_true",
+                   help="use consensus folding for alignments")
+
+
+def fold_opts_from(ns: argparse.Namespace) -> BPMatrixOptions:
+    opts = BPMatrixOptions(alifold=ns.use_alifold)
+    if ns.noGU:
+        import numpy as np
+
+        from ..fold.params import PAIR_TYPE, default_params
+
+        params = default_params()
+        # disallow GU/UG by giving those pair types -inf bonus
+        params.pair_bonus = params.pair_bonus.copy()
+        params.pair_bonus[2] = -1e30  # GU
+        params.pair_bonus[3] = -1e30  # UG
+        opts.params = params
+    return opts
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="stem_kernel_lite",
+        description="Kernel Matrix Calculator for Stem Kernels",
+    )
+    k = p.add_argument_group("Kernel Options")
+    k.add_argument("--no-ribosum", action="store_true",
+                   help="do not use the RIBOSUM substitution matrix")
+    k.add_argument("--no-string", action="store_true",
+                   help="do not convolute the string kernel")
+    k.add_argument("--log", action="store_true",
+                   help="use the logarithm of the kernel")
+    s = p.add_argument_group("Options for the stem kernel")
+    s.add_argument("-p", "--basepair", type=float, default=0.01,
+                   help="threshold of basepairing probability")
+    s.add_argument("-b", "--beta", type=float, default=0.3,
+                   help="weight of the RIBOSUM for the stem kernel")
+    s.add_argument("-g", "--loop-gap", type=float, default=0.2,
+                   help="gap weight for loop regions")
+    s.add_argument("-s", "--stack", type=float, default=1.3,
+                   help="match weight for stacking base pairs (with --no-ribosum)")
+    s.add_argument("-v", "--covariant", type=float, default=0.8,
+                   help="substitution weight for base pairs (with --no-ribosum)")
+    s.add_argument("--length-band", type=int, default=10,
+                   help="band of length difference between bases")
+    t = p.add_argument_group("Options for the string kernel")
+    t.add_argument("-a", "--alpha", type=float, default=0.2,
+                   help="weight of the RIBOSUM for the string kernel")
+    t.add_argument("-G", "--gap", type=float, default=0.8,
+                   help="gap weight for the string kernel")
+    t.add_argument("--match", type=float, default=1.0,
+                   help="match weight for the string kernel (with --no-ribosum)")
+    t.add_argument("--mismatch", type=float, default=0.8,
+                   help="mismatch weight for the string kernel (with --no-ribosum)")
+    add_fold_options(p)
+    add_common_options(p)
+    return p
+
+
+def main(argv=None) -> int:
+    ns = parse_args_with_positionals(build_parser(), argv)
+    opts = parse_positional(ns)
+    config = StemLiteConfig(
+        th=ns.basepair,
+        beta=ns.beta,
+        loop_gap=ns.loop_gap,
+        stack=ns.stack,
+        covar=ns.covariant,
+        len_band=ns.length_band,
+        alpha=ns.alpha,
+        gap=ns.gap,
+        str_match=ns.match,
+        str_mismatch=ns.mismatch,
+        no_ribosum=ns.no_ribosum,
+        no_string=ns.no_string,
+        use_log=ns.log,
+        bp_opts=fold_opts_from(ns),
+    )
+
+    def featurize(alignments):
+        return featurize_stem_examples(alignments, config)
+
+    def make_fn(iters):
+        return make_stem_lite_kernel_fn(config, iters)
+
+    run_app(opts, featurize, make_fn)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

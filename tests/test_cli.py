@@ -1,0 +1,92 @@
+"""CLI drivers: train and predict flows end-to-end via main()."""
+
+import numpy as np
+
+from stem_kernel_tpu.cli import bpla_kernel, stem_kernel_lite, string_kernel
+from stem_kernel_tpu.gram.io import read_precomputed
+from stem_kernel_tpu.svm.model import save_model
+from stem_kernel_tpu.svm.train import svm_train
+from stem_kernel_tpu.utils.shuffle import dinucleotide_shuffle
+
+rng = np.random.default_rng(9)
+
+HAIRPIN = "gggcgcaagcuugaaagcgccc"
+
+
+def write_family(tmp_path, name, seqs):
+    f = tmp_path / name
+    f.write_text("".join(f">s{i}\n{s}\n" for i, s in enumerate(seqs)))
+    return str(f)
+
+
+def mutate(seq, rate=0.1):
+    return "".join(
+        rng.choice(list("acgu")) if rng.random() < rate else c for c in seq
+    )
+
+
+def setup_data(tmp_path, n=6):
+    pos = [mutate(HAIRPIN) for _ in range(n)]
+    neg = [dinucleotide_shuffle(s, rng) for s in pos]
+    return (
+        write_family(tmp_path, "pos.fa", pos),
+        write_family(tmp_path, "neg.fa", neg),
+    )
+
+
+def test_string_kernel_cli_train(tmp_path):
+    pos_fa, neg_fa = setup_data(tmp_path)
+    out = str(tmp_path / "km.dat")
+    assert string_kernel.main(["-n", out, "+1", pos_fa, "-1", neg_fa]) == 0
+    labels, g = read_precomputed(out)
+    assert labels == ["+1"] * 6 + ["-1"] * 6
+    assert g.shape == (12, 12)
+    np.testing.assert_allclose(np.diag(g), 1.0, rtol=1e-5)
+
+
+def test_bpla_kernel_cli_train_and_predict(tmp_path):
+    pos_fa, neg_fa = setup_data(tmp_path)
+    out = str(tmp_path / "km.dat")
+    assert bpla_kernel.main(["-n", out, "+1", pos_fa, "-1", neg_fa]) == 0
+    labels, g = read_precomputed(out)
+    assert g.shape == (12, 12)
+    np.testing.assert_allclose(np.diag(g), 1.0, rtol=1e-4)
+
+    # train an SVM on the matrix and use the CLI predict flow
+    model = svm_train(g, labels, C=1.0)
+    model_path = str(tmp_path / "m.model")
+    save_model(model_path, model)
+    test_out = str(tmp_path / "test.dat")
+    pred_out = str(tmp_path / "pred.txt")
+    rc = bpla_kernel.main([
+        "-n", test_out, "--model", model_path, "--predict", pred_out,
+        "+1", pos_fa, "-1", neg_fa, "--test", "+1", pos_fa,
+    ])
+    assert rc == 0
+    lines = open(pred_out).read().splitlines()
+    assert len(lines) == 6
+    # positives should mostly have positive decision values
+    decs = [float(l.split()[1]) for l in lines]
+    assert np.mean(np.array(decs) > 0) >= 0.5
+
+
+def test_stem_kernel_lite_cli_train(tmp_path):
+    pos_fa, neg_fa = setup_data(tmp_path, n=4)
+    out = str(tmp_path / "km.dat")
+    assert stem_kernel_lite.main(["-n", out, "+1", pos_fa, "-1", neg_fa]) == 0
+    labels, g = read_precomputed(out)
+    assert g.shape == (8, 8)
+    np.testing.assert_allclose(np.diag(g), 1.0, rtol=1e-4)
+    # kernel separates family from shuffles at least weakly on average
+    within = g[:4, :4][np.triu_indices(4, 1)].mean()
+    between = g[:4, 4:].mean()
+    assert within > between
+
+
+def test_stem_kernel_lite_log_variant(tmp_path):
+    pos_fa, neg_fa = setup_data(tmp_path, n=3)
+    out = str(tmp_path / "km.dat")
+    assert stem_kernel_lite.main(["--log", out, "+1", pos_fa, "-1", neg_fa]) == 0
+    _, g = read_precomputed(out)
+    assert g.shape == (6, 6)
+    assert np.isfinite(g).all()
