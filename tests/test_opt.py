@@ -1,0 +1,191 @@
+"""Optimizer stack: L-BFGS-B vs scipy, AUC hypergradients vs finite diffs."""
+
+import numpy as np
+import pytest
+
+from stem_kernel_tpu.opt.classic import rbf_kernel_with_grads
+from stem_kernel_tpu.opt.gradient import auc_gradient_fold, smoothed_auc_delta
+from stem_kernel_tpu.opt.lbfgsb import BOTH_BOUNDS, LBFGSB, LOWER_BOUND, UNBOUND
+from stem_kernel_tpu.opt.optimizer import cv_split, optimize_kernel_params
+
+rng = np.random.default_rng(11)
+
+
+def drive(opt, x0, fg):
+    x = np.asarray(x0, dtype=float)
+    f, g = fg(x)
+    n_eval = 1
+    while opt.update(x, f, g) > 0:
+        f, g = fg(x)
+        n_eval += 1
+        if n_eval > 2000:
+            break
+    return x, f
+
+
+def test_lbfgsb_quadratic_bounded():
+    # min (x-3)^2 + (y+2)^2 subject to x<=2, y>=0 -> optimum (2, 0)
+    def fg(x):
+        g = np.array([2 * (x[0] - 3), 2 * (x[1] + 2)])
+        return (x[0] - 3) ** 2 + (x[1] + 2) ** 2, g
+
+    opt = LBFGSB(pgtol=1e-8)
+    opt.initialize(2, 5, [-1e30, 0.0], [2.0, 1e30], [3, 1])  # UPPER, LOWER
+    x, f = drive(opt, [0.0, 5.0], fg)
+    np.testing.assert_allclose(x, [2.0, 0.0], atol=1e-6)
+
+
+def test_lbfgsb_matches_scipy_rosenbrock():
+    scipy_opt = pytest.importorskip("scipy.optimize")
+
+    def fg(x):
+        f = 100 * (x[1] - x[0] ** 2) ** 2 + (1 - x[0]) ** 2
+        g = np.array(
+            [-400 * x[0] * (x[1] - x[0] ** 2) - 2 * (1 - x[0]),
+             200 * (x[1] - x[0] ** 2)]
+        )
+        return f, g
+
+    bounds = [(-2.0, 0.8), (-2.0, 2.0)]
+    ref = scipy_opt.minimize(fg, [-1.5, 1.5], jac=True, method="L-BFGS-B", bounds=bounds)
+    opt = LBFGSB(pgtol=1e-9, max_iter=500)
+    opt.initialize(2, 5, [-2.0, -2.0], [0.8, 2.0], [BOTH_BOUNDS, BOTH_BOUNDS])
+    x, f = drive(opt, [-1.5, 1.5], fg)
+    np.testing.assert_allclose(x, ref.x, atol=1e-4)
+    np.testing.assert_allclose(f, ref.fun, rtol=1e-5)
+
+
+def test_smoothed_auc_delta_finite_diff():
+    dec = rng.normal(size=12)
+    y = np.array([1] * 6 + [-1] * 6)
+    f, delta = smoothed_auc_delta(dec, y)
+    assert 0 <= f <= 1
+    eps = 1e-6
+    fd = np.zeros(12)
+    for i in range(12):
+        dp = dec.copy()
+        dm = dec.copy()
+        dp[i] += eps
+        dm[i] -= eps
+        fd[i] = (smoothed_auc_delta(dp, y)[0] - smoothed_auc_delta(dm, y)[0]) / (2 * eps)
+    # The reference's delta (gradient.cpp:190-198) differentiates the
+    # variance-adaptive slope only partially, so it is an approximate
+    # gradient of its own objective; require strong directional agreement
+    # with the true finite difference rather than elementwise equality.
+    cos = float(delta @ fd) / (np.linalg.norm(delta) * np.linalg.norm(fd))
+    assert cos > 0.98
+    big = np.abs(fd) > 0.1 * np.abs(fd).max()
+    assert np.all(np.sign(delta[big]) == np.sign(fd[big]))
+
+
+def make_auc_problem(n=30, dim=3, seed=13):
+    r = np.random.default_rng(seed)
+    X = r.normal(size=(n, dim))
+    X[: n // 2] += 1.0
+    y = np.array([1.0] * (n // 2) + [-1.0] * (n - n // 2))
+    return X, y
+
+
+def test_kkt_hypergradient_exact_for_linear_objective():
+    # with an exact df/ddec (a fixed linear functional of the decision
+    # values), the KKT chain rule must match finite differences tightly
+    from stem_kernel_tpu.opt.gradient import (
+        decision_hypergradients,
+        svm_fold_solution,
+    )
+
+    X, y = make_auc_problem()
+    n = len(y)
+    tr_i, ts_i = cv_split(n, 3, 0)
+    c = rng.normal(size=len(ts_i))
+
+    def f_of(gamma, C):
+        K, G = rbf_kernel_with_grads(X, np.array([gamma]))
+        alpha, b, dec = svm_fold_solution(K, y, tr_i, ts_i, C, eps=1e-10)
+        return float(c @ dec), (K, G, alpha, b)
+
+    gamma, C = 0.3, 1.0
+    _, (K, G, alpha, b) = f_of(gamma, C)
+    fg, cg = decision_hypergradients(K, G, y, tr_i, ts_i, C, alpha, b, c)
+    eps = 1e-6
+    fd_gamma = (f_of(gamma + eps, C)[0] - f_of(gamma - eps, C)[0]) / (2 * eps)
+    fd_C = (f_of(gamma, C + eps)[0] - f_of(gamma, C - eps)[0]) / (2 * eps)
+    np.testing.assert_allclose(fg[0], fd_gamma, rtol=1e-4)
+    np.testing.assert_allclose(cg, fd_C, rtol=1e-3)
+
+
+def test_auc_hypergradient_directionally_correct():
+    # full path (approximate reference delta): require the analytic gradient
+    # to point the same way as the finite difference
+    X, y = make_auc_problem()
+    tr_i, ts_i = cv_split(len(y), 3, 0)
+
+    def eval_f(gamma_val, C_val):
+        K, G = rbf_kernel_with_grads(X, np.array([gamma_val]))
+        return auc_gradient_fold(K, G, y, tr_i, ts_i, C_val, eps=1e-8)
+
+    gamma, C = 0.3, 1.0
+    _, fg, cg = eval_f(gamma, C)
+    eps = 1e-5
+    fd_gamma = (eval_f(gamma + eps, C)[0] - eval_f(gamma - eps, C)[0]) / (2 * eps)
+    fd_C = (eval_f(gamma, C + eps)[0] - eval_f(gamma, C - eps)[0]) / (2 * eps)
+    np.testing.assert_allclose(fg[0], fd_gamma, rtol=0.3, atol=1e-4)
+    np.testing.assert_allclose(cg, fd_C, rtol=0.3, atol=1e-4)
+
+
+def test_optimize_improves_auc():
+    X, y = make_auc_problem(n=40)
+
+    def kernel_fn(params):
+        return rbf_kernel_with_grads(X, params)
+
+    def total_auc(gamma, C):
+        K, G = kernel_fn(np.array([gamma]))
+        total = 0.0
+        for fold in range(3):
+            tr_i, ts_i = cv_split(len(y), 3, fold)
+            f, _, _ = auc_gradient_fold(K, G, y, tr_i, ts_i, C)
+            total += f
+        return total
+
+    auc0 = total_auc(2.0, 1.0)
+    params, C, f = optimize_kernel_params(
+        y, kernel_fn, np.array([2.0]), 1.0,
+        lower=np.array([1e-4]), upper=np.array([100.0]),
+        bound_types=np.array([BOTH_BOUNDS]), ncv=3, max_steps=25,
+    )
+    auc1 = total_auc(float(params[0]), C)
+    assert auc1 >= auc0 - 1e-9
+
+
+def test_bpla_optimizer_cli_smoke(tmp_path):
+    # tiny end-to-end: 4+4 sequences, 2 CV folds, few steps
+    from stem_kernel_tpu.cli import bpla_optimizer
+    from stem_kernel_tpu.utils.shuffle import dinucleotide_shuffle
+
+    r = np.random.default_rng(3)
+    base = "gggcgcaagcuugaaagcgccc"
+
+    def mut(s):
+        return "".join(r.choice(list("acgu")) if r.random() < 0.1 else c for c in s)
+
+    pos = [mut(base) for _ in range(4)]
+    neg = [dinucleotide_shuffle(s, r) for s in pos]
+    pf = tmp_path / "p.fa"
+    nf = tmp_path / "n.fa"
+    pf.write_text("".join(f">p{i}\n{s}\n" for i, s in enumerate(pos)))
+    nf.write_text("".join(f">n{i}\n{s}\n" for i, s in enumerate(neg)))
+    rc = bpla_optimizer.main(["--fold", "2", "+1", str(pf), "-1", str(nf)])
+    assert rc == 0
+
+
+def test_rbf_optimizer_cli(tmp_path):
+    from stem_kernel_tpu.cli.classic_optimizers import rbf_main
+
+    X, y = make_auc_problem(n=24)
+    data = tmp_path / "train.svm"
+    with open(data, "w") as f:
+        for yi, xi in zip(y, X):
+            cells = " ".join(f"{j+1}:{v:g}" for j, v in enumerate(xi))
+            f.write(f"{int(yi)} {cells}\n")
+    assert rbf_main(["--fold", "3", str(data)]) == 0
