@@ -36,7 +36,24 @@ def linear_recurrence(a: jax.Array, b: jax.Array, *, reverse: bool = False) -> j
         a_r, b_r = right
         return a_l * a_r, b_r + a_r * b_l
 
-    _, x = jax.lax.associative_scan(combine, (a, b), axis=-1, reverse=reverse)
+    _, x = jax.lax.associative_scan(combine, (a, b), axis=b.ndim - 1, reverse=reverse)
+    return x
+
+
+def logsumexp_recurrence(a: jax.Array, b: jax.Array, *, reverse: bool = False) -> jax.Array:
+    """Solve x[t] = logaddexp(x[t-1] + a[t], b[t]) with x[-1] = -inf.
+
+    The log-semiring analogue of :func:`linear_recurrence`, used by log-space
+    HMM forward/backward column recursions.
+    """
+    a = jnp.broadcast_to(a, b.shape).astype(b.dtype)
+
+    def combine(left, right):
+        a_l, b_l = left
+        a_r, b_r = right
+        return a_l + a_r, jnp.logaddexp(b_l + a_r, b_r)
+
+    _, x = jax.lax.associative_scan(combine, (a, b), axis=b.ndim - 1, reverse=reverse)
     return x
 
 
@@ -53,5 +70,5 @@ def maxplus_recurrence(a: jax.Array, b: jax.Array, *, reverse: bool = False) -> 
         a_r, b_r = right
         return a_l + a_r, jnp.maximum(b_l + a_r, b_r)
 
-    _, x = jax.lax.associative_scan(combine, (a, b), axis=-1, reverse=reverse)
+    _, x = jax.lax.associative_scan(combine, (a, b), axis=b.ndim - 1, reverse=reverse)
     return x
