@@ -51,9 +51,18 @@ def _pad_len(n: int, multiple: int) -> int:
 def fold_sequences(
     seqs: list[str], opts: BPMatrixOptions | None = None
 ) -> list[np.ndarray]:
-    """BPP matrix per (ungapped) sequence, batched by padded length."""
+    """BPP matrix per (ungapped) sequence, batched by padded length.
+
+    With ``n_samples > 0`` the SFOLD path estimates BPPs by stochastic
+    traceback sampling instead of the exact outside pass
+    (bpmatrix.cpp:179-232).
+    """
     opts = opts or BPMatrixOptions()
     params = opts.resolved_params()
+    if opts.n_samples > 0:
+        from .sampling import sfold_bpp
+
+        return [sfold_bpp(s, opts.n_samples, params) for s in seqs]
     groups: dict[int, list[int]] = {}
     for i, s in enumerate(seqs):
         groups.setdefault(_pad_len(len(s), opts.pad_multiple), []).append(i)

@@ -1,0 +1,195 @@
+"""Stochastic structure sampling (SFOLD) by traceback through inside tables.
+
+Equivalent of the reference's SFOLD method — Vienna `pbacktrack` sampling
+with pair counting (/root/reference/common/bpmatrix.cpp:179-232): draw
+Boltzmann-distributed secondary structures and estimate the BPP matrix as
+pair frequencies over ``n_samples`` draws.
+
+The inside tables come from the McCaskill pass (device); the traceback
+recursion mirrors the inside decomposition exactly, so samples are exact
+(no approximation beyond Monte Carlo error).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..io.alphabet import encode
+from .mccaskill import _inside, _prep, _register
+from .params import EnergyParams, default_params, hairpin_score, interior_score
+
+
+def _softmax_choice(rng: np.random.Generator, logw: np.ndarray) -> int:
+    m = logw.max()
+    p = np.exp(logw - m)
+    p = p / p.sum()
+    return int(rng.choice(len(logw), p=p))
+
+
+class _Sampler:
+    def __init__(self, codes: np.ndarray, params: EnergyParams):
+        import jax.numpy as jnp
+
+        self.params = params
+        n = len(codes)
+        self.n = n
+        hp_vec, ia, ib, ipen = _prep(params, n, jnp.float64)
+        key = _register(params)
+        Qb, Qm1, Qm, Qm2, ql, logZ = _inside(
+            jnp.asarray(codes, jnp.int32), jnp.asarray(n), key, None,
+            hp_vec, ia, ib, ipen,
+        )
+        self.Qb = np.asarray(Qb)  # span layout [d, i]
+        self.Qm1 = np.asarray(Qm1)
+        self.Qm = np.asarray(Qm)
+        self.Qm2 = np.asarray(Qm2)
+        self.ql = np.asarray(ql)  # ql[k] = Ql[k-1]
+        self.logZ = float(logZ)
+        self.ia = np.asarray(ia)
+        self.ib = np.asarray(ib)
+        self.ipen = np.asarray(ipen)
+        from ..fold.mccaskill import _pair_tables
+        import jax.numpy as jnp2
+
+        wpair, stacklut = _pair_tables(
+            jnp2.asarray(codes, jnp2.int32), jnp2.asarray(n), params, None
+        )
+        self.wpair = np.asarray(wpair)
+        self.stacklut = np.asarray(stacklut)
+        self.hp = np.asarray(
+            [float(hairpin_score(params, max(d, 3))) for d in range(n + 1)]
+        )
+
+    def qb(self, i, j):
+        return self.Qb[j - i, i] if 0 <= j - i < self.n else -1e30
+
+    def sample(self, rng: np.random.Generator) -> list[tuple[int, int]]:
+        pairs: list[tuple[int, int]] = []
+        self._sample_exterior(rng, self.n - 1, pairs)
+        return pairs
+
+    def _sample_exterior(self, rng, j, pairs):
+        # Ql[j] = Ql[j-1] ⊕ (+)_k Ql[k-1] + Qb[k, j]
+        while j >= 0:
+            opts = [self.ql[j]]  # j unpaired -> continue at j-1
+            ks = []
+            for k in range(0, j - 3):
+                w = self.ql[k] + self.qb(k, j)
+                if w > -1e29:
+                    opts.append(w)
+                    ks.append(k)
+            c = _softmax_choice(rng, np.asarray(opts))
+            if c == 0:
+                j -= 1
+            else:
+                k = ks[c - 1]
+                self._sample_pair(rng, k, j, pairs)
+                j = k - 1
+
+    def _sample_pair(self, rng, i, j, pairs):
+        pairs.append((i, j))
+        d = j - i
+        params = self.params
+        opts = []
+        acts = []
+        # hairpin
+        if d - 1 >= params.min_hairpin:
+            opts.append(self.hp[d - 1])
+            acts.append(("hp",))
+        # stack
+        w = self.stacklut[i, j] + self.qb(i + 1, j - 1)
+        if w > -1e29:
+            opts.append(w)
+            acts.append(("il", i + 1, j - 1))
+        # interior
+        for a, b, pen in zip(self.ia, self.ib, self.ipen):
+            k, l = i + int(a), j - int(b)
+            if k < l:
+                w = pen + self.qb(k, l)
+                if w > -1e29:
+                    opts.append(w)
+                    acts.append(("il", k, l))
+        # multiloop
+        if d - 2 >= 0:
+            w = params.ml_close + params.ml_branch + (
+                self.Qm2[d - 2, i + 1] if d - 2 < self.n else -1e30
+            )
+            if w > -1e29:
+                opts.append(w)
+                acts.append(("ml", i + 1, j - 1))
+        act = acts[_softmax_choice(rng, np.asarray(opts))]
+        if act[0] == "il":
+            self._sample_pair(rng, act[1], act[2], pairs)
+        elif act[0] == "ml":
+            self._sample_qm2(rng, act[1], act[2], pairs)
+
+    def _sample_qm2(self, rng, i, j, pairs):
+        # Qm2[i,j] = (+)_t Qm[i, i+t-1] + Qm1[i+t, j]
+        opts, ks = [], []
+        for t in range(1, j - i + 1):
+            w = (
+                (self.Qm[t - 1, i] if t - 1 < self.n else -1e30)
+                + (self.Qm1[j - (i + t), i + t] if 0 <= j - (i + t) < self.n else -1e30)
+            )
+            if w > -1e29:
+                opts.append(w)
+                ks.append(i + t)
+        k = ks[_softmax_choice(rng, np.asarray(opts))]
+        self._sample_qm(rng, i, k - 1, pairs)
+        self._sample_qm1(rng, k, j, pairs)
+
+    def _sample_qm(self, rng, i, j, pairs):
+        # Qm[i,j] = Qm2[i,j] ⊕ (+)_t c*t + Qm1[i+t, j]
+        c = self.params.ml_unpaired
+        opts = [self.Qm2[j - i, i] if 0 <= j - i < self.n else -1e30]
+        acts = [("qm2",)]
+        for t in range(0, j - i + 1):
+            w = c * t + (self.Qm1[j - (i + t), i + t] if 0 <= j - (i + t) < self.n else -1e30)
+            if w > -1e29:
+                opts.append(w)
+                acts.append(("qm1", i + t))
+        act = acts[_softmax_choice(rng, np.asarray(opts))]
+        if act[0] == "qm2":
+            self._sample_qm2(rng, i, j, pairs)
+        else:
+            self._sample_qm1(rng, act[1], j, pairs)
+
+    def _sample_qm1(self, rng, k, j, pairs):
+        # Qm1[k,j] = b + (+)_l Qb[k,l] + c*(j-l)
+        c = self.params.ml_unpaired
+        opts, ls = [], []
+        for l in range(k + 1, j + 1):
+            w = self.qb(k, l) + c * (j - l)
+            if w > -1e29:
+                opts.append(w)
+                ls.append(l)
+        l = ls[_softmax_choice(rng, np.asarray(opts))]
+        self._sample_pair(rng, k, l, pairs)
+
+
+def sample_structures(
+    seq: str,
+    n_samples: int,
+    params: EnergyParams | None = None,
+    seed: int = 0,
+) -> list[list[tuple[int, int]]]:
+    """Draw Boltzmann samples of secondary structures (lists of pairs)."""
+    params = params or default_params()
+    sampler = _Sampler(encode(seq), params)
+    rng = np.random.default_rng(seed)
+    return [sampler.sample(rng) for _ in range(n_samples)]
+
+
+def sfold_bpp(
+    seq: str,
+    n_samples: int = 100,
+    params: EnergyParams | None = None,
+    seed: int = 0,
+) -> np.ndarray:
+    """BPP matrix from pair counts over samples (bpmatrix.cpp:199-232)."""
+    L = len(seq)
+    bpp = np.zeros((L, L))
+    for pairs in sample_structures(seq, n_samples, params, seed):
+        for (i, j) in pairs:
+            bpp[i, j] += 1.0
+    return bpp / n_samples

@@ -90,3 +90,30 @@ def test_stem_kernel_lite_log_variant(tmp_path):
     _, g = read_precomputed(out)
     assert g.shape == (6, 6)
     assert np.isfinite(g).all()
+
+
+def test_la_kernel_protein_cli(tmp_path):
+    from stem_kernel_tpu.cli import la_kernel
+
+    prot = ["MKTAYIAKQR", "MKTAYIAKQK", "GGSSGGSSGG", "PPPPLLLPPP"]
+    fa = tmp_path / "p.fa"
+    fa.write_text("".join(f">p{i}\n{s}\n" for i, s in enumerate(prot)))
+    out = str(tmp_path / "km.dat")
+    assert la_kernel.main(["-n", out, "+1", str(fa)]) == 0
+    from stem_kernel_tpu.gram.io import read_precomputed
+
+    _, g = read_precomputed(out)
+    assert g.shape == (4, 4)
+    np.testing.assert_allclose(np.diag(g), 1.0, rtol=1e-5)
+    # similar proteins more similar than dissimilar ones
+    assert g[0, 1] > g[0, 2]
+
+
+def test_la_kernel_sw_variant(tmp_path):
+    from stem_kernel_tpu.cli import la_kernel
+
+    prot = ["MKTAYIAKQR", "MKTAYIAKQK"]
+    fa = tmp_path / "p.fa"
+    fa.write_text("".join(f">p{i}\n{s}\n" for i, s in enumerate(prot)))
+    out = str(tmp_path / "km.dat")
+    assert la_kernel.main(["--SW", out, "+1", str(fa)]) == 0

@@ -133,3 +133,31 @@ def test_batched_alignment_bpps():
         assert b.shape == (a.length, a.length)
         single = bpp_for_alignment(a)
         np.testing.assert_allclose(b, single, atol=1e-12)
+
+
+def test_sfold_sampling_matches_bpp():
+    from stem_kernel_tpu.fold.sampling import sfold_bpp
+
+    seq = "gcgcaaagcgc"
+    exact, _ = mccaskill_bpp(encode(seq), params=PARAMS, dtype=jnp.float64)
+    sampled = sfold_bpp(seq, n_samples=800, params=PARAMS, seed=4)
+    # Monte Carlo agreement on the dominant pairs
+    err = np.abs(sampled - exact).max()
+    assert err < 0.08, f"max sampling error {err}"
+
+
+def test_sfold_samples_are_valid_structures():
+    from stem_kernel_tpu.fold.sampling import sample_structures
+
+    for pairs in sample_structures("ggcaaagccaugcaaaagcau", 20, PARAMS, seed=1):
+        seen = set()
+        for (i, j) in pairs:
+            assert j - i > 3
+            assert i not in seen and j not in seen
+            seen.update((i, j))
+        # no pseudoknots / crossing pairs
+        sp = sorted(pairs)
+        for a in range(len(sp)):
+            for b in range(a + 1, len(sp)):
+                (i1, j1), (i2, j2) = sp[a], sp[b]
+                assert j1 < i2 or j2 < j1, f"crossing {sp[a]} {sp[b]}"
