@@ -1,0 +1,89 @@
+"""Utility CLI tools round-trip tests."""
+
+import numpy as np
+
+from stem_kernel_tpu.cli import utils_cli
+from stem_kernel_tpu.gram.io import read_precomputed, write_precomputed
+
+rng = np.random.default_rng(31)
+
+
+def make_matrix(tmp_path, n=5):
+    g = rng.uniform(0.5, 2.0, (n, n))
+    g = (g + g.T) / 2 + n * np.eye(n)
+    labels = ["+1"] * (n // 2) + ["-1"] * (n - n // 2)
+    path = str(tmp_path / "m.dat")
+    write_precomputed(path, labels, g)
+    return path, labels, g
+
+
+def test_normalize_matrix(tmp_path):
+    path, labels, g = make_matrix(tmp_path)
+    out = str(tmp_path / "norm.dat")
+    assert utils_cli.main(["normalize-matrix", path, out]) == 0
+    _, gn = read_precomputed(out)
+    np.testing.assert_allclose(np.diag(gn), 1.0, rtol=1e-9)
+    d = np.sqrt(np.diag(g))
+    np.testing.assert_allclose(gn, g / np.outer(d, d), rtol=1e-9)
+
+
+def test_radial_basis_matrix(tmp_path):
+    path, labels, g = make_matrix(tmp_path)
+    out = str(tmp_path / "rbf.dat")
+    assert utils_cli.main(["radial-basis-matrix", "0.1", path, out]) == 0
+    _, gr = read_precomputed(out)
+    d = np.diag(g)
+    want = np.exp(-0.1 * (d[:, None] + d[None, :] - 2 * g))
+    np.testing.assert_allclose(gr, want, rtol=1e-9)
+
+
+def test_submatrix(tmp_path):
+    path, labels, g = make_matrix(tmp_path)
+    out = str(tmp_path / "sub.dat")
+    assert utils_cli.main(["submatrix", "3", path, out]) == 0
+    l2, g2 = read_precomputed(out)
+    assert len(l2) == 3 and g2.shape == (3, 3)
+    np.testing.assert_allclose(g2, g[:3, :3], rtol=1e-9)
+
+
+def test_normalize_test_matrix(tmp_path):
+    path, labels, g = make_matrix(tmp_path)
+    rows = rng.uniform(0.1, 1.0, (2, 5))
+    selfv = np.array([2.0, 3.0])
+    ts_path = str(tmp_path / "ts.dat")
+    write_precomputed(ts_path, ["+1", "-1"], rows)
+    norm_path = str(tmp_path / "norm.txt")
+    with open(norm_path, "w") as f:
+        f.write("".join(f"{v}\n" for v in selfv))
+    out = str(tmp_path / "tsn.dat")
+    assert utils_cli.main(["normalize-test-matrix", path, norm_path, ts_path, out]) == 0
+    _, got = read_precomputed(out)
+    want = rows / (np.sqrt(selfv)[:, None] * np.sqrt(np.diag(g))[None, :])
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_roc_and_dishuffle_and_sampling(tmp_path):
+    dec_file = tmp_path / "dec.txt"
+    dec_file.write_text("1 2.0\n1 1.5\n-1 -0.5\n-1 0.1\n")
+    assert utils_cli.main(["roc", str(dec_file)]) == 0
+
+    fa = tmp_path / "in.fa"
+    fa.write_text(">a\nacguacguacgugcaugc\n>b\nggggccccaaaauuuu\n")
+    out_fa = tmp_path / "shuf.fa"
+    assert utils_cli.main(["dishuffle", str(fa), str(out_fa), "7"]) == 0
+    recs = out_fa.read_text()
+    assert recs.count(">") == 2
+
+    samp = tmp_path / "samp.fa"
+    assert utils_cli.main(["fa-sampling", "1", str(fa), str(samp), "3"]) == 0
+    assert samp.read_text().count(">") == 1
+
+    assert utils_cli.main(["mean-id", str(fa)]) == 0
+
+
+def test_roc_cv(tmp_path):
+    f = tmp_path / "cv.txt"
+    f.write_text(
+        "== 0 1 1.2\n== 0 -1 -0.3\n== 1 1 0.8\n== 1 -1 0.9\nCross validation done\n"
+    )
+    assert utils_cli.main(["roc-cv", str(f)]) == 0
