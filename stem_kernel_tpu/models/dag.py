@@ -52,7 +52,7 @@ class StemDAG:
 
 
 class _Profiler:
-    """Per-row profile quantities (Profiler, data.cpp:32-137)."""
+    """Per-row profile quantities (Profiler, data.cpp:32-137), vectorized."""
 
     def __init__(self, row: str, bpp: np.ndarray, w: float = 1.0):
         self.row = row
@@ -62,30 +62,107 @@ class _Profiler:
         codes = encode(row)
         self.pr = IUPAC_WEIGHT[codes]  # (L, 4); zero rows at gaps
         L = len(row)
-        self.nbp = np.ones(L, dtype=np.float64)
         own = bpp.shape[0] != L  # per-row ungapped matrix
-        for i in range(L):
-            if self.idx[i] < 0:
-                continue
-            if own:
-                ii = self.idx[i]
-                tot = bpp[ii, :].sum() + bpp[:, ii].sum()
-            else:
-                tot = bpp[i, :].sum() + bpp[:, i].sum()
-            self.nbp[i] = max(1.0 - tot, 0.0)
-
-    def loop_profile(self, i: int) -> float:
-        return self.w * self.nbp[i]
-
-    def bp_profile(self, i: int, j: int) -> np.ndarray:
-        """4x4 weighted base-pair frequency contribution at columns (i, j)."""
-        if self.idx[i] < 0 or self.idx[j] < 0:
-            return np.zeros((N_RNA, N_RNA))
-        if self.bpp.shape[0] != len(self.row):
-            p = self.bpp[self.idx[i], self.idx[j]]
+        tot_by_pos = bpp.sum(axis=0) + bpp.sum(axis=1)  # pairing prob per position
+        self.nbp = np.ones(L, dtype=np.float64)
+        present = self.idx >= 0
+        if own:
+            self.nbp[present] = np.maximum(1.0 - tot_by_pos[self.idx[present]], 0.0)
         else:
-            p = self.bpp[i, j]
-        return self.w * p * np.outer(self.pr[i], self.pr[j])
+            self.nbp[present] = np.maximum(1.0 - tot_by_pos[np.flatnonzero(present)], 0.0)
+
+    def loop_profile_vec(self) -> np.ndarray:
+        """w * nbp at present columns, 0 elsewhere (for averaging)."""
+        return np.where(self.idx >= 0, self.w * self.nbp, 0.0)
+
+    def bp_profiles_at(self, firsts: np.ndarray, lasts: np.ndarray) -> np.ndarray:
+        """(N, 4, 4) weighted base-pair frequency contributions per node."""
+        fi, li = self.idx[firsts], self.idx[lasts]
+        ok = (fi >= 0) & (li >= 0)
+        if self.bpp.shape[0] != len(self.row):
+            p = np.where(ok, self.bpp[np.clip(fi, 0, None), np.clip(li, 0, None)], 0.0)
+        else:
+            p = np.where(ok, self.bpp[firsts, lasts], 0.0)
+        return (self.w * p)[:, None, None] * np.einsum(
+            "na,nb->nab", self.pr[firsts], self.pr[lasts]
+        )
+
+
+def _dag_topology(avg_bpp: np.ndarray, L: int, th: float):
+    """Node spans + CSR edges (native C++ scan when built; Python fallback).
+
+    The candidate-pair scan and DFS emission of DAGBuilder
+    (data.cpp:163-258): children precede parents in the output order.
+    """
+    from ..native import dag_scan_native
+
+    native = dag_scan_native(np.asarray(avg_bpp, np.float64), th)
+    if native is not None:
+        first, last, edge_to, edge_gaps, edge_ptr = native
+        return (first, last, edge_to, edge_gaps, edge_ptr)
+
+    bp_children: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    head: list[list[tuple[int, int]]] = [[] for _ in range(L)]
+    ch: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for j in range(1, L):
+        for i in range(j - 1, -1, -1):
+            if avg_bpp[i, j] >= th:
+                bp_children[(i, j)] = ch.pop((i + 1, j - 1), [])
+                ch.setdefault((i, j), []).append((i, j))
+                head[i].append((i, j))
+            else:
+                lst = []
+                upper = ch.get((i + 1, j), [])
+                if head[i]:
+                    widest_end = head[i][-1][1]
+                    lst.extend(x for x in upper if x[1] >= widest_end)
+                else:
+                    lst.extend(upper)
+                lst.extend(head[i])
+                ch[(i, j)] = lst
+
+    first_l: list[int] = []
+    last_l: list[int] = []
+    edges_l: list[list[tuple[int, int]]] = []  # (to, gaps)
+    visited: dict[tuple[int, int], int] = {}
+
+    def emit(pos: tuple[int, int]) -> int:
+        if pos in visited:
+            return visited[pos]
+        i, j = pos
+        kids: list[tuple[int, int]] = []
+        if i != j:
+            cur = bp_children.get(pos)
+            if not cur:  # loop: one edge to leaf (i, i)
+                kids.append((emit((i, i)), j - i - 1))
+            else:  # stem: edges to child pairs
+                for c in cur:
+                    kids.append((emit(c), (c[0] - i - 1) + (j - c[1] - 1)))
+        first_l.append(i)
+        last_l.append(j)
+        edges_l.append(kids)
+        visited[pos] = len(first_l) - 1
+        return visited[pos]
+
+    for i in range(L):
+        for pos in reversed(head[i]):
+            emit(pos)
+    if not first_l:  # completely unstructured input: single leaf
+        emit((0, 0))
+
+    edge_to, edge_gaps, edge_ptr = [], [], [0]
+    for e in edges_l:
+        for (to, gaps) in e:
+            edge_to.append(to)
+            edge_gaps.append(gaps)
+        edge_ptr.append(len(edge_to))
+    return (
+        np.asarray(first_l, np.int32),
+        np.asarray(last_l, np.int32),
+        np.asarray(edge_to, np.int32),
+        np.asarray(edge_gaps, np.int32),
+        np.asarray(edge_ptr, np.int32),
+    )
 
 
 def build_dag(
@@ -108,102 +185,23 @@ def build_dag(
         profs = [_Profiler(r, b) for r, b in zip(rows, row_bpps)]
     total_w = sum(p.w for p in profs)
 
-    # --- bottom-up candidate-pair scan (DAGBuilder::initialize, data.cpp:163-191)
-    bp_children: dict[tuple[int, int], list[tuple[int, int]]] = {}
-    head: list[list[tuple[int, int]]] = [[] for _ in range(L)]
-    ch: dict[tuple[int, int], list[tuple[int, int]]] = {}
-    for j in range(1, L):
-        for i in range(j - 1, -1, -1):
-            if avg_bpp[i, j] >= th:
-                bp_children[(i, j)] = ch.pop((i + 1, j - 1), [])
-                ch.setdefault((i, j), []).append((i, j))
-                head[i].append((i, j))
-            else:
-                lst = []
-                upper = ch.get((i + 1, j), [])
-                if head[i]:
-                    widest_end = head[i][-1][1]
-                    lst.extend(x for x in upper if x[1] >= widest_end)
-                else:
-                    lst.extend(upper)
-                lst.extend(head[i])
-                ch[(i, j)] = lst
+    first, last, edge_to, edge_gaps, edge_ptr = _dag_topology(avg_bpp, L, th)
+    n = len(first)
+    edge_w = np.ones(len(edge_to), np.float32)
+    n_edges_per = edge_ptr[1:] - edge_ptr[:-1]
+    is_leaf = n_edges_per == 0
 
-    # --- depth-first node emission (build_helper, data.cpp:231-258)
-    first_l: list[int] = []
-    last_l: list[int] = []
-    weight_l: list[float] = []
-    bp_freq_l: list[np.ndarray] = []
-    edges_l: list[list[tuple[int, int, float]]] = []  # (to, gaps, w)
-    visited: dict[tuple[int, int], int] = {}
-
-    def loop_profile(i: int) -> float:
-        v = sum(p.loop_profile(i) for p in profs if p.idx[i] >= 0)
-        return v / total_w
-
-    def bp_profile(i: int, j: int) -> np.ndarray:
-        acc = np.zeros((N_RNA, N_RNA))
-        for p in profs:
-            acc += p.bp_profile(i, j)
-        return acc / total_w
-
-    def emit(pos: tuple[int, int]) -> int:
-        if pos in visited:
-            return visited[pos]
-        i, j = pos
-        if i == j:  # leaf
-            first_l.append(i)
-            last_l.append(j)
-            weight_l.append(1.0)
-            bp_freq_l.append(np.zeros((N_RNA, N_RNA)))
-            edges_l.append([])
-        elif not bp_children.get(pos):  # loop: one edge to leaf (i, i)
-            child = emit((i, i))
-            first_l.append(i)
-            last_l.append(j)
-            weight_l.append(loop_profile(i) * loop_profile(j))
-            bp_freq_l.append(bp_profile(i, j))
-            edges_l.append([(child, j - i - 1, 1.0)])
-        else:  # stem: edges to child pairs
-            kids = []
-            for c in bp_children[pos]:
-                kidx = emit(c)
-                gaps = (c[0] - i - 1) + (j - c[1] - 1)
-                kids.append((kidx, gaps, 1.0))
-            first_l.append(i)
-            last_l.append(j)
-            weight_l.append(loop_profile(i) * loop_profile(j))
-            bp_freq_l.append(bp_profile(i, j))
-            edges_l.append(kids)
-        visited[pos] = len(first_l) - 1
-        return visited[pos]
-
-    for i in range(L):
-        for pos in reversed(head[i]):
-            emit(pos)
-
-    n = len(first_l)
-    if n == 0:  # completely unstructured input: single leaf so shapes exist
-        emit((0, 0))
-        n = 1
-
-    first = np.asarray(first_l, np.int32)
-    last = np.asarray(last_l, np.int32)
-    weight = np.asarray(weight_l, np.float32)
-    bp_freq = np.stack(bp_freq_l).reshape(n, N_RNA * N_RNA).astype(np.float32)
-    is_leaf = np.asarray([len(e) == 0 for e in edges_l])
-
-    edge_to, edge_gaps, edge_w, edge_ptr = [], [], [], [0]
-    for e in edges_l:
-        for (to, gaps, w) in e:
-            edge_to.append(to)
-            edge_gaps.append(gaps)
-            edge_w.append(w)
-        edge_ptr.append(len(edge_to))
-    edge_to = np.asarray(edge_to, np.int32)
-    edge_gaps = np.asarray(edge_gaps, np.int32)
-    edge_w = np.asarray(edge_w, np.float32)
-    edge_ptr = np.asarray(edge_ptr, np.int32)
+    # vectorized profile quantities over all nodes at once
+    lp = np.zeros(L)
+    for p in profs:
+        lp += p.loop_profile_vec()
+    lp = lp / total_w  # averaged loop profile per column
+    weight = np.where(is_leaf, 1.0, lp[first] * lp[last]).astype(np.float32)
+    bp_acc = np.zeros((n, N_RNA, N_RNA))
+    for p in profs:
+        bp_acc += p.bp_profiles_at(first, last)
+    bp_freq = (bp_acc / total_w).reshape(n, N_RNA * N_RNA).astype(np.float32)
+    bp_freq[is_leaf] = 0.0
 
     # roots / max parent (find_root, find_max_parent — data.cpp:396-435)
     is_root = np.ones(n, bool)
@@ -225,10 +223,10 @@ def build_dag(
     # seq[first][RNA_GAP] / n_seqs, score_table.cpp:190-197)
     gap_count = np.zeros(L)
     for p in profs:
-        gap_count += np.array([1.0 if p.idx[i] < 0 else 0.0 for i in range(L)])
+        gap_count += (p.idx < 0).astype(np.float64)
     nbp_frac = (gap_count[first] / total_w).astype(np.float32)
 
-    pos_weight = np.asarray([loop_profile(i) for i in range(L)], np.float32)
+    pos_weight = lp.astype(np.float32)
 
     return StemDAG(
         n_nodes=n,

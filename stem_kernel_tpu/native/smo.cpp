@@ -1,0 +1,120 @@
+// Native SMO solver for the C-SVC dual on precomputed kernels.
+//
+// C++ counterpart of stem_kernel_tpu/svm/solver.py (and of the reference's
+// modified LIBSVM Solver, /root/reference/libsvm/solver.cpp:82-475): maximal
+// violating pair selection with second-order (WSS-3) tie-breaking.  Exposed
+// with C linkage for ctypes; used by the Python layer when built, with the
+// NumPy implementation as fallback (results agree to solver tolerance).
+
+#include <cmath>
+#include <cstdint>
+#include <vector>
+
+namespace {
+constexpr double TAU = 1e-12;
+}
+
+extern "C" int smo_solve(
+    const double* K,      // n*n kernel matrix, row-major
+    const double* y,      // labels +-1
+    const double* p,      // linear term (usually -1)
+    int n,
+    double C_p, double C_n,
+    double eps,
+    long max_iter,
+    double* alpha_out,    // n
+    double* rho_out,      // 1
+    double* obj_out,      // 1
+    long* iter_out)       // 1
+{
+    std::vector<double> alpha(n, 0.0), G(p, p + n), C(n), Kd(n);
+    for (int i = 0; i < n; ++i) {
+        C[i] = y[i] > 0 ? C_p : C_n;
+        Kd[i] = K[(int64_t)i * n + i];
+    }
+
+    long it = 0;
+    while (it < max_iter) {
+        // select i: max over I_up of -y_i G_i
+        int i = -1;
+        double G_max = -1e300, G_min = 1e300;
+        for (int t = 0; t < n; ++t) {
+            bool up = (y[t] > 0 && alpha[t] < C[t]) || (y[t] < 0 && alpha[t] > 0);
+            if (up) {
+                double v = -y[t] * G[t];
+                if (v > G_max) { G_max = v; i = t; }
+            }
+        }
+        if (i < 0) break;
+        const double* Ki = K + (int64_t)i * n;
+        // select j: second-order among I_low with violation
+        int j = -1;
+        double best = 1e300;
+        for (int t = 0; t < n; ++t) {
+            bool low = (y[t] > 0 && alpha[t] > 0) || (y[t] < 0 && alpha[t] < C[t]);
+            if (!low) continue;
+            double nyG = -y[t] * G[t];
+            if (nyG < G_min) G_min = nyG;
+            double b = G_max + y[t] * G[t];
+            if (b > 0) {
+                double a = Kd[i] + Kd[t] - 2.0 * Ki[t];
+                if (a <= 0) a = TAU;
+                double od = -(b * b) / a;
+                if (od < best) { best = od; j = t; }
+            }
+        }
+        if (G_max - G_min < eps || j < 0) break;
+        const double* Kj = K + (int64_t)j * n;
+
+        double quad = Kd[i] + Kd[j] - 2.0 * Ki[j];
+        if (quad <= 0) quad = TAU;
+        double ai = alpha[i], aj = alpha[j];
+        if (y[i] != y[j]) {
+            double delta = (-G[i] - G[j]) / quad;
+            double diff = ai - aj;
+            ai += delta; aj += delta;
+            if (diff > 0) { if (aj < 0) { aj = 0; ai = diff; } }
+            else { if (ai < 0) { ai = 0; aj = -diff; } }
+            if (diff > C[i] - C[j]) { if (ai > C[i]) { ai = C[i]; aj = C[i] - diff; } }
+            else { if (aj > C[j]) { aj = C[j]; ai = C[j] + diff; } }
+        } else {
+            double delta = (G[i] - G[j]) / quad;
+            double sum = ai + aj;
+            ai -= delta; aj += delta;
+            if (sum > C[i]) { if (ai > C[i]) { ai = C[i]; aj = sum - C[i]; } }
+            else { if (aj < 0) { aj = 0; ai = sum; } }
+            if (sum > C[j]) { if (aj > C[j]) { aj = C[j]; ai = sum - C[j]; } }
+            else { if (ai < 0) { ai = 0; aj = sum; } }
+        }
+        double d_i = ai - alpha[i], d_j = aj - alpha[j];
+        alpha[i] = ai; alpha[j] = aj;
+        double yi = y[i], yj = y[j];
+        for (int t = 0; t < n; ++t)
+            G[t] += yi * y[t] * Ki[t] * d_i + yj * y[t] * Kj[t] * d_j;
+        ++it;
+    }
+
+    // rho (calculate_rho): free SVs have y_i G_i == rho
+    double sum_free = 0; int n_free = 0;
+    double ub = 1e300, lb = -1e300;
+    for (int t = 0; t < n; ++t) {
+        double yG = y[t] * G[t];
+        if (alpha[t] > 0 && alpha[t] < C[t]) { sum_free += yG; ++n_free; }
+        else if ((y[t] > 0 && alpha[t] == 0) || (y[t] < 0 && alpha[t] == C[t])) {
+            if (yG < ub) ub = yG;
+        } else {
+            if (yG > lb) lb = yG;
+        }
+    }
+    double rho = n_free > 0 ? sum_free / n_free : (ub + lb) / 2.0;
+
+    double obj = 0;
+    for (int t = 0; t < n; ++t) obj += alpha[t] * (G[t] + p[t]);
+    obj *= 0.5;
+
+    for (int t = 0; t < n; ++t) alpha_out[t] = alpha[t];
+    *rho_out = rho;
+    *obj_out = obj;
+    *iter_out = it;
+    return 0;
+}
