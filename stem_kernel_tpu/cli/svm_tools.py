@@ -1,0 +1,77 @@
+"""svm-train / svm-predict CLIs for PRECOMPUTED Gram matrices.
+
+Equivalents of LIBSVM's svm-train / svm-predict used in the reference
+workflow (`svm-train -t 4 km.dat`, README.rd:28-30), limited to the
+precomputed-kernel path this framework produces.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from ..gram.io import read_precomputed
+from ..svm.model import load_model, save_model
+from ..svm.train import (
+    svm_cross_validation,
+    svm_predict_probability,
+    svm_predict_values,
+    svm_train,
+)
+
+
+def train_main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="skt-svm-train")
+    p.add_argument("-c", type=float, default=1.0, dest="C", help="cost parameter C")
+    p.add_argument("-e", type=float, default=1e-3, dest="eps", help="stopping tolerance")
+    p.add_argument("-b", type=int, default=0, dest="probability",
+                   help="1: train probability estimates")
+    p.add_argument("-v", type=int, default=0, dest="folds",
+                   help="n-fold cross validation mode")
+    p.add_argument("matrix", help="PRECOMPUTED kernel matrix file")
+    p.add_argument("model", nargs="?", help="output model file")
+    ns = p.parse_args(argv)
+    labels, K = read_precomputed(ns.matrix)
+    if ns.folds > 1:
+        preds = svm_cross_validation(K, labels, ns.folds, C=ns.C, eps=ns.eps)
+        acc = float(np.mean([a == b for a, b in zip(preds, labels)]))
+        print(f"Cross Validation Accuracy = {acc * 100:g}%")
+        return 0
+    model = svm_train(K, labels, C=ns.C, eps=ns.eps, probability=bool(ns.probability))
+    out = ns.model or (ns.matrix + ".model")
+    save_model(out, model)
+    print(f"model saved to {out} ({model.total_sv} SVs)")
+    return 0
+
+
+def predict_main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="skt-svm-predict")
+    p.add_argument("-b", type=int, default=0, dest="probability")
+    p.add_argument("test", help="test rows in PRECOMPUTED format (vs training set)")
+    p.add_argument("model", help="model file")
+    p.add_argument("output", nargs="?", help="prediction output file")
+    ns = p.parse_args(argv)
+    labels, rows = read_precomputed(ns.test)
+    model = load_model(ns.model)
+    lines = []
+    correct = 0
+    for t, label in enumerate(labels):
+        if ns.probability and model.prob_A is not None:
+            pred, prob = svm_predict_probability(model, rows[t])
+            lines.append(f"{pred} {' '.join(f'{v:g}' for v in prob)}")
+        else:
+            pred, dec = svm_predict_values(model, rows[t])
+            lines.append(f"{pred} {dec[0]:g}")
+        correct += pred == label
+    out_text = "\n".join(lines) + "\n"
+    if ns.output:
+        open(ns.output, "w").write(out_text)
+    else:
+        print(out_text, end="")
+    print(f"Accuracy = {correct / max(len(labels), 1) * 100:g}% ({correct}/{len(labels)})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(train_main())

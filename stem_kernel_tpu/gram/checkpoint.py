@@ -1,0 +1,74 @@
+"""Tile-granular Gram-matrix checkpointing.
+
+The reference has no in-run checkpointing — a failed multi-hour MPI Gram run
+restarts from zero (SURVEY.md §5).  Here every pair batch lands in a durable
+memmap as soon as it is computed, with a completion bitmap alongside; resume
+skips finished batches.  Files:
+
+    <path>.values.npy   float32 memmap over the flattened upper triangle
+    <path>.done.npy     per-batch completion flags
+    <path>.meta.json    {n, batch_size} sanity check
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+
+class TileCheckpoint:
+    def __init__(self, path: str, n: int, batch_size: int):
+        self.path = path
+        self.n = n
+        self.batch_size = batch_size
+        self.n_pairs = n * (n + 1) // 2
+        self.n_batches = -(-self.n_pairs // batch_size)
+        meta_path = path + ".meta.json"
+        values_path = path + ".values.npy"
+        done_path = path + ".done.npy"
+        if os.path.exists(meta_path):
+            meta = json.load(open(meta_path))
+            if meta != {"n": n, "batch_size": batch_size}:
+                raise ValueError(
+                    f"checkpoint {path} was written for {meta}, "
+                    f"not n={n} batch_size={batch_size}"
+                )
+            self.values = np.lib.format.open_memmap(values_path, mode="r+")
+            self.done = np.lib.format.open_memmap(done_path, mode="r+")
+        else:
+            self.values = np.lib.format.open_memmap(
+                values_path, mode="w+", dtype=np.float32, shape=(self.n_pairs,)
+            )
+            self.done = np.lib.format.open_memmap(
+                done_path, mode="w+", dtype=np.bool_, shape=(self.n_batches,)
+            )
+            json.dump({"n": n, "batch_size": batch_size}, open(meta_path, "w"))
+
+    def is_done(self, batch_idx: int) -> bool:
+        return bool(self.done[batch_idx])
+
+    def load_batch(self, batch_idx: int) -> np.ndarray:
+        lo = batch_idx * self.batch_size
+        hi = min(lo + self.batch_size, self.n_pairs)
+        return np.asarray(self.values[lo:hi])
+
+    def store_batch(self, batch_idx: int, vals: np.ndarray) -> None:
+        lo = batch_idx * self.batch_size
+        hi = min(lo + self.batch_size, self.n_pairs)
+        self.values[lo:hi] = vals[: hi - lo]
+        self.values.flush()
+        self.done[batch_idx] = True
+        self.done.flush()
+
+    @property
+    def n_completed(self) -> int:
+        return int(self.done.sum())
+
+    def cleanup(self) -> None:
+        for suffix in (".values.npy", ".done.npy", ".meta.json"):
+            try:
+                os.remove(self.path + suffix)
+            except FileNotFoundError:
+                pass

@@ -66,8 +66,15 @@ class PairKernelEngine:
         y = {k: jnp.take(v, iy, axis=0) for k, v in feats_y.items()}
         return self.kernel_fn(x, y)
 
-    def _run_pairs(self, ix: np.ndarray, iy: np.ndarray, feats_y=None) -> np.ndarray:
-        """Evaluate the kernel on pair lists, batching and (optionally) sharding."""
+    def _run_pairs(
+        self, ix: np.ndarray, iy: np.ndarray, feats_y=None, checkpoint=None
+    ) -> np.ndarray:
+        """Evaluate the kernel on pair lists, batching and (optionally) sharding.
+
+        With ``checkpoint`` (a gram.checkpoint.TileCheckpoint), completed
+        batches are loaded instead of recomputed and fresh batches are stored
+        durably as soon as they finish.
+        """
         feats_y = self.features if feats_y is None else feats_y
         n_pairs = len(ix)
         bs = self.batch_size
@@ -77,6 +84,10 @@ class PairKernelEngine:
         iy_p = np.concatenate([iy, np.zeros(pad, iy.dtype)])
         out = np.empty(n_batches * bs, dtype=np.float32)
         for b in range(n_batches):
+            if checkpoint is not None and checkpoint.is_done(b):
+                vals = checkpoint.load_batch(b)
+                out[b * bs : b * bs + len(vals)] = vals
+                continue
             bix = jnp.asarray(ix_p[b * bs : (b + 1) * bs])
             biy = jnp.asarray(iy_p[b * bs : (b + 1) * bs])
             if self.mesh is not None:
@@ -84,15 +95,26 @@ class PairKernelEngine:
 
                 bix = shard_pairs(self.mesh, bix)
                 biy = shard_pairs(self.mesh, biy)
-            out[b * bs : (b + 1) * bs] = np.asarray(
-                self._eval(self.features, feats_y, bix, biy)
-            )
+            vals = np.asarray(self._eval(self.features, feats_y, bix, biy))
+            out[b * bs : (b + 1) * bs] = vals
+            if checkpoint is not None:
+                checkpoint.store_batch(b, vals)
         return out[:n_pairs]
 
-    def gram(self, *, normalize: bool = False) -> np.ndarray:
-        """Full symmetric N x N Gram matrix (upper triangle computed once)."""
+    def gram(self, *, normalize: bool = False, checkpoint_path: str | None = None) -> np.ndarray:
+        """Full symmetric N x N Gram matrix (upper triangle computed once).
+
+        ``checkpoint_path`` enables tile-granular checkpoint/resume.
+        """
         iu = np.triu_indices(self.n)
-        vals = self._run_pairs(iu[0].astype(np.int32), iu[1].astype(np.int32))
+        ckpt = None
+        if checkpoint_path is not None:
+            from .checkpoint import TileCheckpoint
+
+            ckpt = TileCheckpoint(checkpoint_path, self.n, self.batch_size)
+        vals = self._run_pairs(
+            iu[0].astype(np.int32), iu[1].astype(np.int32), checkpoint=ckpt
+        )
         g = np.zeros((self.n, self.n), dtype=np.float32)
         g[iu] = vals
         g = g + np.triu(g, 1).T

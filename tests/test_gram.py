@@ -101,3 +101,41 @@ def test_norm_file(tmp_path):
     write_norm(path, np.array([1.5, 2.5]))
     vals = [float(l) for l in open(path)]
     assert vals == [1.5, 2.5]
+
+
+def test_gram_checkpoint_resume(tmp_path):
+    feats, _ = make_features(8)
+    path = str(tmp_path / "ckpt")
+    eng = PairKernelEngine(string_kernel_fn(), feats, batch_size=8)
+    g0 = eng.gram()
+
+    # first run with checkpointing
+    g1 = eng.gram(checkpoint_path=path)
+    np.testing.assert_allclose(g1, g0, rtol=1e-6)
+    from stem_kernel_tpu.gram.checkpoint import TileCheckpoint
+
+    ck = TileCheckpoint(path, 8, 8)
+    assert ck.n_completed == ck.n_batches
+
+    # poison the kernel fn: resume must NOT recompute anything
+    def poisoned(x, y):
+        raise AssertionError("recomputed a completed batch")
+
+    eng2 = PairKernelEngine(poisoned, feats, batch_size=8)
+    g2 = eng2.gram(checkpoint_path=path)
+    np.testing.assert_allclose(g2, g0, rtol=1e-6)
+
+    # partial resume: clear one batch flag, only that batch recomputes
+    ck.done[0] = False
+    ck.done.flush()
+    calls = []
+    base = string_kernel_fn()
+
+    def counting(x, y):
+        calls.append(1)
+        return base(x, y)
+
+    eng3 = PairKernelEngine(counting, feats, batch_size=8)
+    g3 = eng3.gram(checkpoint_path=path)
+    np.testing.assert_allclose(g3, g0, rtol=1e-6)
+    assert len(calls) == 1

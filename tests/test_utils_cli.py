@@ -87,3 +87,44 @@ def test_roc_cv(tmp_path):
         "== 0 1 1.2\n== 0 -1 -0.3\n== 1 1 0.8\n== 1 -1 0.9\nCross validation done\n"
     )
     assert utils_cli.main(["roc-cv", str(f)]) == 0
+
+
+def test_svm_train_predict_cli(tmp_path):
+    from stem_kernel_tpu.cli.svm_tools import predict_main, train_main
+
+    r = np.random.default_rng(5)
+    n = 20
+    X = r.normal(size=(n, 3))
+    X[: n // 2] += 1.5
+    K = X @ X.T
+    labels = ["+1"] * (n // 2) + ["-1"] * (n - n // 2)
+    mat = str(tmp_path / "km.dat")
+    write_precomputed(mat, labels, K)
+    model = str(tmp_path / "m.model")
+    assert train_main(["-c", "10", mat, model]) == 0
+    out = str(tmp_path / "pred.txt")
+    assert predict_main([mat, model, out]) == 0
+    preds = [l.split()[0] for l in open(out)]
+    acc = np.mean([p == l for p, l in zip(preds, labels)])
+    assert acc > 0.8
+    # CV mode
+    assert train_main(["-v", "4", mat]) == 0
+
+
+def test_stage_timer_and_memory_probe():
+    from stem_kernel_tpu.utils.tracing import StageTimer, dag_memory_probe
+    from stem_kernel_tpu.models.dag import build_dag
+    from stem_kernel_tpu.fold.bpmatrix import fold_sequences, bpp_for_alignment
+    from stem_kernel_tpu.io.profile import Alignment
+
+    t = StageTimer()
+    with t.stage("fold", items=1):
+        seq = "gggcgcaagcuugaaagcgccc"
+        bpps = fold_sequences([seq])
+        aln = Alignment(rows=[seq])
+        avg = bpp_for_alignment(aln)
+    with t.stage("dag", items=1):
+        dag = build_dag(aln, avg, bpps)
+    assert t.totals["fold"] > 0
+    probe = dag_memory_probe([dag])
+    assert probe["total_bytes"] > 0 and probe["max_live_nodes"] >= 1
