@@ -189,3 +189,31 @@ def test_rbf_optimizer_cli(tmp_path):
             cells = " ".join(f"{j+1}:{v:g}" for j, v in enumerate(xi))
             f.write(f"{int(yi)} {cells}\n")
     assert rbf_main(["--fold", "3", str(data)]) == 0
+
+
+def test_kernel_entropy_gradient_vs_fd():
+    from stem_kernel_tpu.opt.kernel_entropy import kernel_entropy
+
+    X, _ = make_auc_problem(n=12)
+    for normalize in (False, True):
+        def fk(gamma):
+            return rbf_kernel_with_grads(X, np.array([gamma]))
+
+        gamma = 0.4
+        K, G = fk(gamma)
+        f, g = kernel_entropy(K, G, normalize=normalize)
+        eps = 1e-6
+        f1, _ = kernel_entropy(*fk(gamma + eps), normalize=normalize)
+        f0, _ = kernel_entropy(*fk(gamma - eps), normalize=normalize)
+        fd = (f1 - f0) / (2 * eps)
+        np.testing.assert_allclose(g[0], fd, rtol=1e-4, err_msg=f"norm={normalize}")
+
+
+def test_maximize_kernel_entropy_runs():
+    from stem_kernel_tpu.opt.kernel_entropy import maximize_kernel_entropy
+
+    X, _ = make_auc_problem(n=12)
+    params, f = maximize_kernel_entropy(
+        lambda p: rbf_kernel_with_grads(X, p), np.array([0.5]), max_iter=10
+    )
+    assert np.isfinite(f)

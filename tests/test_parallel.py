@@ -1,0 +1,32 @@
+"""Mesh sharding and scaling on the 8-device CPU mesh."""
+
+import numpy as np
+import jax
+
+from stem_kernel_tpu.parallel.distributed import global_mesh, scaling_efficiency
+from stem_kernel_tpu.models.string_kernel import StringKernel
+
+
+def test_global_mesh_covers_all_devices():
+    mesh = global_mesh()
+    assert mesh.size == len(jax.devices()) == 8
+
+
+def test_scaling_efficiency_runs():
+    rng = np.random.default_rng(0)
+    k = StringKernel(0.8, alpha=0.2)
+
+    def feats_fn(bsz):
+        p = rng.uniform(0, 1, (bsz, 16, 4)).astype(np.float32)
+        p /= p.sum(-1, keepdims=True)
+        lens = np.full(bsz, 16, np.int32)
+        d = {"profile": p, "length": lens}
+        return d, d
+
+    def kernel_fn(x, y):
+        return k(x["profile"], x["length"], y["profile"], y["length"])
+
+    eff = scaling_efficiency(kernel_fn, feats_fn, batch_per_device=16,
+                             device_counts=[1, 2], reps=2)
+    assert set(eff) == {1, 2}
+    assert all(v > 0 for v in eff.values())
