@@ -374,18 +374,30 @@ def mccaskill_bpp_batch(
     *,
     dtype=jnp.float32,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Batched (bpp, logZ) over padded code arrays (B, n) via vmap."""
+    """Batched (bpp, logZ) over padded code arrays (B, n).
+
+    Implementation note: the per-example inside/outside jits compile in
+    seconds, but vmapping them explodes XLA-TPU compile time by ~100x
+    (batched gather/scatter lowering), so the batch is dispatched as a
+    Python loop over the two per-example jits.  JAX's async dispatch queues
+    every example's work before any result is fetched, so device execution
+    and transfer latency overlap across the batch.
+    """
     params = params or default_params()
     codes = jnp.asarray(codes_batch, jnp.int32)
     n = codes.shape[1]
     hp_vec, ia, ib, ipen = _prep(params, n, dtype)
     key = _register(params)
+    lengths = np.asarray(lengths)
 
-    def one(c, l):
+    pending = []
+    for b in range(codes.shape[0]):
+        c = codes[b]
+        l = jnp.asarray(int(lengths[b]))
         Qb, Qm1, Qm, Qm2, ql, logZ = _inside(c, l, key, None, hp_vec, ia, ib, ipen)
         bpp = _outside(c, l, key, None, hp_vec, ia, ib, ipen,
                        Qb, Qm1, Qm, Qm2, ql, logZ)
-        return bpp, logZ
-
-    bpp, logZ = jax.vmap(one)(codes, jnp.asarray(lengths))
-    return np.asarray(bpp), np.asarray(logZ)
+        pending.append((bpp, logZ))
+    bpps = np.stack([np.asarray(b) for b, _ in pending])
+    logZs = np.asarray([float(z) for _, z in pending])
+    return bpps, logZs
