@@ -71,6 +71,7 @@ def main(argv=None) -> int:
             return full_stem_kernel(
                 x["codes"], y["codes"], x["length"], y["length"],
                 x["bp"], y["bp"], ns.gap, ns.stack, ns.substitution,
+                band=ns.band_width,
             )
 
         return kernel_fn

@@ -76,7 +76,7 @@ def pair_weights(
     return w
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("band",))
 def full_stem_kernel(
     x_codes: jax.Array,  # (B, n)
     y_codes: jax.Array,  # (B, m)
@@ -87,9 +87,19 @@ def full_stem_kernel(
     gap: jax.Array,
     stack: jax.Array,
     subst: jax.Array,
-    band_mask: jax.Array | None = None,  # (B, n+1, m+1, m+1) optional inj mask
+    band: int = 0,
 ) -> jax.Array:
-    """Batched full stem kernel values (B,)."""
+    """Batched full stem kernel values (B,).
+
+    ``band > 0`` restricts match injections to per-position diagonal
+    windows: y-start k within +-band of x-start i's diagonal image and
+    y-end l within +-band of the x-end j's — the band-only variant of
+    alignment_constraints (stem_kernel.cpp:70-76).  NOTE: the reference's
+    partial_dp also *approximates* out-of-window table reads
+    (stem_kernel.cpp:165-246) to save memory; the dense formulation keeps
+    everything else exact, so banded values are a tighter approximation
+    than the reference's.
+    """
     bsz, n = x_codes.shape
     m = y_codes.shape[1]
     dt = bp_x.dtype
@@ -146,9 +156,16 @@ def full_stem_kernel(
         wfac = bpx_d[:, :, None, None] * bpy_kl[:, None, :, :]
         inj_k3 = base * stack * wfac * jnp.where(both_eq > 0, 1.0, subst)
         inj_g3 = base * both_eq * jnp.where(wfac > 0, 1.0, 0.0)
-        if band_mask is not None:
-            inj_k3 = inj_k3 * band_mask
-            inj_g3 = inj_g3 * band_mask
+        if band > 0:
+            # per-position diagonal windows: k near image of i, l near image of j
+            kl = jnp.arange(m + 1)
+            ci = jnp.round(i_idx[None, :] / jnp.maximum(lx[:, None], 1) * ly[:, None])
+            cj = jnp.round(jnp.minimum(i_idx[None, :] + d, n) / jnp.maximum(lx[:, None], 1) * ly[:, None])
+            k_ok = jnp.abs(kl[None, None, :] - ci[:, :, None]) <= band
+            l_ok = jnp.abs(kl[None, None, :] - cj[:, :, None]) <= band
+            bm = (k_ok[:, :, :, None] & l_ok[:, :, None, :]).astype(dt)
+            inj_k3 = inj_k3 * bm
+            inj_g3 = inj_g3 * bm
         # zero out k > l-? and out-of-range blocks
         mask_kl = low_tri[None, None]
         inj_k3 = inj_k3 * mask_kl * valid_i[None, :, None, None]

@@ -95,3 +95,21 @@ def test_batched_padding():
     want = full_stem_ref(ca, cb, pair_weights(ca, len(a)), pair_weights(cb, len(b)), 0.8, 1.0, 0.5)
     np.testing.assert_allclose(vals[0], want, rtol=1e-4)
     np.testing.assert_allclose(vals[1], want, rtol=1e-4)  # symmetric kernel
+
+
+def test_band_restricts_and_wide_band_matches_full():
+    a, b = "gggaaaccc", "ggcaaagcc"
+    ca, cb = encode(a), encode(b)
+    n = max(len(a), len(b)) + 1
+    x = np.zeros((1, n), np.uint8); x[0, : len(ca)] = ca
+    y = np.zeros((1, n), np.uint8); y[0, : len(cb)] = cb
+    bx = np.zeros((1, n, n), np.float32); by = np.zeros((1, n, n), np.float32)
+    bx[0, : len(a), : len(a)] = pair_weights(ca, len(a))
+    by[0, : len(b), : len(b)] = pair_weights(cb, len(b))
+    args = (jnp.asarray(x), jnp.asarray(y), jnp.asarray([len(a)]), jnp.asarray([len(b)]),
+            jnp.asarray(bx), jnp.asarray(by), 0.8, 1.0, 0.5)
+    full = float(np.asarray(full_stem_kernel(*args))[0])
+    wide = float(np.asarray(full_stem_kernel(*args, band=len(b)))[0])
+    np.testing.assert_allclose(wide, full, rtol=1e-5)
+    narrow = float(np.asarray(full_stem_kernel(*args, band=1))[0])
+    assert narrow <= full + 1e-6
