@@ -132,14 +132,20 @@ def run_app(
     *,
     batch_size: int = 256,
     mesh=None,
+    log_kernel: bool = False,
 ) -> None:
-    """Execute the train or predict flow."""
+    """Execute the train or predict flow.
+
+    ``log_kernel``: the kernel_fn returns log K; normalization happens in log
+    space (overflow-safe for long sequences).
+    """
     t_start = time.time()
     train_alns, train_labels = load_labeled(opts.labels, opts.files)
     if not opts.predict_mode:
         feats, aux = featurize(train_alns)
         kernel_fn = make_kernel_fn(aux)
-        eng = PairKernelEngine(kernel_fn, feats, batch_size=batch_size, mesh=mesh)
+        eng = PairKernelEngine(kernel_fn, feats, batch_size=batch_size, mesh=mesh,
+                               log_values=log_kernel)
         g = eng.gram(normalize=opts.normalize)
         write_precomputed(opts.output, train_labels, g)
         print(f"elapsed time: {time.time()-t_start:.1f}s", file=sys.stderr)
@@ -161,17 +167,30 @@ def run_app(
     test_feats = {k: v[n_train:] for k, v in feats.items()}
 
     kernel_fn = make_kernel_fn(aux)
-    eng = PairKernelEngine(kernel_fn, train_feats, batch_size=batch_size, mesh=mesh)
+    eng = PairKernelEngine(kernel_fn, train_feats, batch_size=batch_size, mesh=mesh,
+                           log_values=log_kernel)
     diag = eng.diagonal(sv_index=sv_index)
     rows, self_vals = eng.rows(test_feats, sv_index=sv_index)
 
-    norm_rows = rows.copy()
-    if opts.normalize:
-        denom = np.sqrt(np.clip(diag, 1e-300, None))[None, :] * np.sqrt(
-            np.clip(self_vals, 1e-300, None)
-        )[:, None]
-        cols = np.flatnonzero(diag > 0)
-        norm_rows[:, cols] = rows[:, cols] / denom[:, cols]
+    if log_kernel:
+        cols = np.arange(rows.shape[1]) if sv_index is None else np.asarray(sv_index)
+        if opts.normalize:
+            norm_rows = np.zeros_like(rows)
+            norm_rows[:, cols] = np.exp(
+                rows[:, cols] - 0.5 * (diag[None, cols] + self_vals[:, None])
+            )
+        else:
+            norm_rows = np.zeros_like(rows)
+            norm_rows[:, cols] = np.exp(rows[:, cols].astype(np.float64))
+        self_vals = np.exp(self_vals.astype(np.float64))
+    else:
+        norm_rows = rows.copy()
+        if opts.normalize:
+            denom = np.sqrt(np.clip(diag, 1e-300, None))[None, :] * np.sqrt(
+                np.clip(self_vals, 1e-300, None)
+            )[:, None]
+            cols = np.flatnonzero(diag > 0)
+            norm_rows[:, cols] = rows[:, cols] / denom[:, cols]
 
     if not opts.predict_only:
         with _open_write(opts.output) as f:

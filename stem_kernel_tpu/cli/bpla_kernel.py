@@ -69,10 +69,14 @@ def main(argv=None) -> int:
         bpps = bpp_for_alignments(alignments, bp_opts)
         return bpla_features(alignments, bpps), None
 
-    def make_fn(_aux):
-        return kernel
+    # the LA-kernel values overflow float range on long sequences, so the
+    # non-SW path evaluates in log space (exact log-space normalization)
+    use_log = not ns.SW
 
-    run_app(opts, featurize, make_fn)
+    def make_fn(_aux):
+        return kernel.log_value if use_log else kernel
+
+    run_app(opts, featurize, make_fn, log_kernel=use_log)
     return 0
 
 

@@ -50,11 +50,16 @@ class PairKernelEngine:
         *,
         batch_size: int = 512,
         mesh=None,
+        log_values: bool = False,
     ) -> None:
+        """``log_values``: kernel_fn returns log K instead of K; gram() then
+        normalizes in log space — exp(Lij - (Lii + Ljj)/2) — which is exact
+        and overflow-safe for kernels whose raw values exceed float range."""
         self.kernel_fn = kernel_fn
         self.features = _stack_on_device(features)
         self.n = next(iter(self.features.values())).shape[0]
         self.mesh = mesh
+        self.log_values = log_values
         if mesh is not None:
             n_dev = mesh.size
             batch_size = max(n_dev, (batch_size // n_dev) * n_dev)
@@ -118,6 +123,11 @@ class PairKernelEngine:
         g = np.zeros((self.n, self.n), dtype=np.float32)
         g[iu] = vals
         g = g + np.triu(g, 1).T
+        if self.log_values:
+            if normalize:
+                d = np.diag(g)
+                return np.exp(g - 0.5 * (d[:, None] + d[None, :])).astype(np.float32)
+            return np.exp(g.astype(np.float64))
         if normalize:
             g = normalize_gram(g)
         return g

@@ -126,6 +126,58 @@ def local_alignment_exp(
 
 
 @jax.jit
+def local_alignment_log(
+    scores: jax.Array, mask: jax.Array,
+    beta: jax.Array, gap: jax.Array, ext: jax.Array,
+) -> jax.Array:
+    """log of :func:`local_alignment_exp` — overflow-safe for long sequences.
+
+    The exp-space kernel grows like exp(beta * s * L) and saturates float32
+    around L ~ 40 well-matched positions (the reference's doubles also
+    overflow, just later).  This log-domain evaluation runs the identical
+    recursion with (logaddexp, +) in place of (+, *); combined with
+    log-space cosine normalization exp(logK(x,y) - (logK(x,x)+logK(y,y))/2)
+    the pipeline never leaves a bounded range.
+    """
+    bsz, lx, ly = scores.shape
+    dt = scores.dtype
+    beta = jnp.reshape(jnp.asarray(beta, dt), (-1, 1))
+    lbg = beta * jnp.reshape(jnp.asarray(gap, dt), (-1, 1))
+    lbe = beta * jnp.reshape(jnp.asarray(ext, dt), (-1, 1))
+
+    ls = beta[..., None] * scores
+    ls = jnp.where(mask, ls, NEG_LARGE)  # (B, Lx, Ly) log emission
+    neg_state = jnp.concatenate(
+        [ls[:, 0, :] * 0 + NEG_LARGE, jnp.full((bsz, 1), NEG_LARGE, dt)], axis=-1
+    )
+    neg_col = neg_state[:, :1]
+
+    from ..ops.recurrence import logsumexp_recurrence
+
+    def row_step(carry, ls_row):
+        m_prev, x_prev, y_prev, acc = carry  # (B, Ly+1) log states
+        diag = jnp.logaddexp(
+            0.0,
+            jnp.logaddexp(
+                m_prev[:, :-1], jnp.logaddexp(x_prev[:, :-1], y_prev[:, :-1])
+            ),
+        )
+        m_row = jnp.concatenate([neg_col, ls_row + diag], axis=-1)
+        x_row = jnp.logaddexp(lbg + m_prev, lbe + x_prev)
+        q = lbg + jnp.logaddexp(m_row[:, :-1], x_row[:, :-1])
+        y_row = jnp.concatenate(
+            [neg_col, logsumexp_recurrence(jnp.broadcast_to(lbe, q.shape), q)],
+            axis=-1,
+        )
+        acc = jnp.logaddexp(acc, jax.nn.logsumexp(m_row, axis=-1))
+        return (m_row, x_row, y_row, acc), None
+
+    init = (neg_state, neg_state, neg_state, neg_state[:, 0])
+    (_, _, _, acc), _ = jax.lax.scan(row_step, init, jnp.swapaxes(ls, 0, 1))
+    return jnp.logaddexp(0.0, acc)  # log(1 + sum M)
+
+
+@jax.jit
 def local_alignment_exp_flank(
     scores: jax.Array, mask: jax.Array,
     beta: jax.Array, gap: jax.Array, ext: jax.Array,
@@ -331,3 +383,11 @@ class BPLAKernel:
         if self.sw:
             return local_alignment_max(s, mask, self.gap, self.ext)
         return local_alignment_exp(s, mask, self.beta, self.gap, self.ext)
+
+    def log_value(self, x, y) -> jax.Array:
+        """log K(x, y) — overflow-safe path for long sequences."""
+        s = self.scores(x, y)
+        mask = pair_mask(x["length"], s.shape[1], y["length"], s.shape[2])
+        if self.sw:
+            return jnp.log(jnp.maximum(local_alignment_max(s, mask, self.gap, self.ext), 1e-300))
+        return local_alignment_log(s, mask, self.beta, self.gap, self.ext)

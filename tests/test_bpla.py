@@ -167,3 +167,41 @@ def test_kernel_symmetry_full_pipeline():
     kyx = float(np.asarray(k(y, x))[0])
     np.testing.assert_allclose(kxy, kyx, rtol=1e-5)
     assert kxy > 0
+
+
+def test_log_space_matches_exp_space():
+    beta, gap, ext = 0.11, -8.0, -0.75
+    S = rand_scores(3, 10, 8, lo=-2.0, hi=2.0)
+    mask = np.ones((3, 10, 8), bool)
+    v = np.asarray(local_alignment_exp(jnp.asarray(S), jnp.asarray(mask), beta, gap, ext))
+    from stem_kernel_tpu.models.bpla import local_alignment_log
+
+    lv = np.asarray(local_alignment_log(jnp.asarray(S), jnp.asarray(mask), beta, gap, ext))
+    np.testing.assert_allclose(np.exp(lv), v, rtol=1e-4)
+
+
+def test_log_space_survives_long_sequences():
+    from stem_kernel_tpu.models.bpla import local_alignment_log
+
+    beta, gap, ext = 0.11, -8.0, -0.75
+    # strongly matching long pair: exp-space overflows f32, log-space is finite
+    S = np.full((1, 160, 160), 15.0, np.float32)
+    mask = np.ones((1, 160, 160), bool)
+    v = np.asarray(local_alignment_exp(jnp.asarray(S), jnp.asarray(mask), beta, gap, ext))
+    assert not np.isfinite(v).all()  # demonstrates the overflow
+    lv = np.asarray(local_alignment_log(jnp.asarray(S), jnp.asarray(mask), beta, gap, ext))
+    assert np.isfinite(lv).all() and lv[0] > 80.0
+
+
+def test_log_space_padding_invariance():
+    from stem_kernel_tpu.models.bpla import local_alignment_log
+
+    beta, gap, ext = 0.11, -8.0, -0.75
+    S = rand_scores(1, 6, 5)
+    big = np.zeros((1, 9, 9), np.float32)
+    big[:, :6, :5] = S
+    mask = np.zeros((1, 9, 9), bool)
+    mask[:, :6, :5] = True
+    got = np.asarray(local_alignment_log(jnp.asarray(big), jnp.asarray(mask), beta, gap, ext))[0]
+    want = np.log(bpla_exp_ref(S[0].astype(np.float64), beta, gap, ext))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
