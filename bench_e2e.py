@@ -61,7 +61,8 @@ def main(n_seqs: int = 100, seq_len: int = 100) -> None:
         feats = bpla_features(alns, bpps)
     kernel = BPLAKernel()
     with t.stage("gram", items=len(seqs) * (len(seqs) + 1) // 2):
-        eng = PairKernelEngine(kernel, feats, batch_size=512)
+        # log-space evaluation + log-space normalization (overflow-safe)
+        eng = PairKernelEngine(kernel.log_value, feats, batch_size=512, log_values=True)
         g = eng.gram(normalize=True)
     with t.stage("svm_cv", items=len(seqs)):
         preds = svm_cross_validation(g, labels, 5, C=1.0)
