@@ -117,3 +117,47 @@ def test_la_kernel_sw_variant(tmp_path):
     fa.write_text("".join(f">p{i}\n{s}\n" for i, s in enumerate(prot)))
     out = str(tmp_path / "km.dat")
     assert la_kernel.main(["--SW", out, "+1", str(fa)]) == 0
+
+
+def test_clustal_alignment_input(tmp_path):
+    # CLUSTAL alignments as examples (MData path)
+    aln_text = """CLUSTAL W (1.83) multiple sequence alignment
+
+seq1    gggcgcaagcuugaaagcgccc
+seq2    gggcgcaagc-ugaaagcgccc
+
+CLUSTAL W (1.83) multiple sequence alignment
+
+seq1    ggcacgaaagugcc
+seq2    ggcacgaaagugcc
+"""
+    f = tmp_path / "fam.aln"
+    f.write_text(aln_text)
+    out = str(tmp_path / "km.dat")
+    assert bpla_kernel.main(["-n", out, "+1", str(f)]) == 0
+    labels, g = read_precomputed(out)
+    assert g.shape == (2, 2)  # two CLUSTAL sections = two examples
+    np.testing.assert_allclose(np.diag(g), 1.0, rtol=1e-4)
+
+
+def test_stem_kernel_lite_predict_flow(tmp_path):
+    pos_fa, neg_fa = setup_data(tmp_path, n=4)
+    out = str(tmp_path / "km.dat")
+    assert stem_kernel_lite.main(["-n", out, "+1", pos_fa, "-1", neg_fa]) == 0
+    labels, g = read_precomputed(out)
+    model = svm_train(g, labels, C=1.0)
+    model_path = str(tmp_path / "m.model")
+    save_model(model_path, model)
+    test_out = str(tmp_path / "ts.dat")
+    pred_out = str(tmp_path / "pred.txt")
+    norm_out = str(tmp_path / "norm.txt")
+    rc = stem_kernel_lite.main([
+        "-n", test_out, "-x", norm_out, "--model", model_path,
+        "--predict", pred_out,
+        "+1", pos_fa, "-1", neg_fa, "--test", "+1", pos_fa,
+    ])
+    assert rc == 0
+    assert len(open(pred_out).read().splitlines()) == 4
+    assert len(open(norm_out).read().splitlines()) == 4
+    labels_ts, rows = read_precomputed(test_out)
+    assert rows.shape == (4, 8)
