@@ -36,18 +36,19 @@ BASELINE_PAIRS_PER_SEC = 3000.0
 
 
 def main() -> None:
-    from stem_kernel_tpu.models.bpla import local_alignment_exp
+    from stem_kernel_tpu.ops.pallas_la import la_exp_auto
 
     rng = np.random.default_rng(0)
     w_pair = jnp.asarray(rng.uniform(0, 1, (BATCH, LEN, LEN)).astype(np.float32))
     w_unpair = jnp.asarray(rng.uniform(-2, 2, (BATCH, LEN, LEN)).astype(np.float32))
-    mask = jnp.ones((BATCH, LEN, LEN), bool)
+    lx = jnp.full((BATCH,), LEN, jnp.int32)
+    ly = jnp.full((BATCH,), LEN, jnp.int32)
     alpha, beta, gap, ext = 4.5, 0.11, -8.0, -0.75
 
-    def chained(a, b, m):
+    def chained(a, b, lx, ly):
         def body(_, carry):
             a2, acc = carry
-            v = local_alignment_exp(alpha * a2 + b, m, beta, gap, ext)
+            v = la_exp_auto(alpha * a2 + b, lx, ly, beta, gap, ext)
             # feed a (numerically negligible) function of the output back into
             # the next iteration so XLA cannot elide repeated tiles
             return a2 + v.sum() * 0 + 1e-12, acc + v.sum()
@@ -56,12 +57,12 @@ def main() -> None:
         return acc
 
     f = jax.jit(chained)
-    float(f(w_pair, w_unpair, mask))  # compile + warmup
+    float(f(w_pair, w_unpair, lx, ly))  # compile + warmup
 
     best = float("inf")
     for _ in range(4):
         t0 = time.perf_counter()
-        float(f(w_pair, w_unpair, mask))  # host fetch forces completion
+        float(f(w_pair, w_unpair, lx, ly))  # host fetch forces completion
         best = min(best, time.perf_counter() - t0)
 
     pairs_per_sec = BATCH * CHAIN / best

@@ -379,10 +379,12 @@ class BPLAKernel:
 
     def __call__(self, x, y) -> jax.Array:
         s = self.scores(x, y)
-        mask = pair_mask(x["length"], s.shape[1], y["length"], s.shape[2])
         if self.sw:
+            mask = pair_mask(x["length"], s.shape[1], y["length"], s.shape[2])
             return local_alignment_max(s, mask, self.gap, self.ext)
-        return local_alignment_exp(s, mask, self.beta, self.gap, self.ext)
+        from ..ops.pallas_la import la_exp_auto
+
+        return la_exp_auto(s, x["length"], y["length"], self.beta, self.gap, self.ext)
 
     def log_value(self, x, y) -> jax.Array:
         """log K(x, y) — overflow-safe path for long sequences."""

@@ -205,3 +205,21 @@ def test_log_space_padding_invariance():
     got = np.asarray(local_alignment_log(jnp.asarray(big), jnp.asarray(mask), beta, gap, ext))[0]
     want = np.log(bpla_exp_ref(S[0].astype(np.float64), beta, gap, ext))
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_pallas_la_interpret_matches_scan():
+    from stem_kernel_tpu.ops.pallas_la import la_exp_pallas
+
+    beta, gap, ext = 0.11, -8.0, -0.75
+    S = rand_scores(5, 9, 7, lo=-3.0, hi=2.0)
+    lx = np.array([9, 6, 3, 9, 1], np.int32)
+    ly = np.array([7, 7, 2, 5, 1], np.int32)
+    got = np.asarray(
+        la_exp_pallas(
+            jnp.asarray(S), jnp.asarray(lx), jnp.asarray(ly), beta, gap, ext,
+            block_b=8, interpret=True,
+        )
+    )
+    mask = pair_mask(jnp.asarray(lx), 9, jnp.asarray(ly), 7)
+    want = np.asarray(local_alignment_exp(jnp.asarray(S), mask, beta, gap, ext))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
