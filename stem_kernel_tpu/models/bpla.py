@@ -389,7 +389,9 @@ class BPLAKernel:
     def log_value(self, x, y) -> jax.Array:
         """log K(x, y) — overflow-safe path for long sequences."""
         s = self.scores(x, y)
-        mask = pair_mask(x["length"], s.shape[1], y["length"], s.shape[2])
         if self.sw:
+            mask = pair_mask(x["length"], s.shape[1], y["length"], s.shape[2])
             return jnp.log(jnp.maximum(local_alignment_max(s, mask, self.gap, self.ext), 1e-300))
-        return local_alignment_log(s, mask, self.beta, self.gap, self.ext)
+        from ..ops.pallas_la import la_log_auto
+
+        return la_log_auto(s, x["length"], y["length"], self.beta, self.gap, self.ext)

@@ -171,6 +171,154 @@ def la_exp_pallas(
     return out[:bsz, 0]
 
 
+NEG = -1e30
+
+
+def _shift1_log(v: jax.Array, lane_iota: jax.Array) -> jax.Array:
+    """Log-domain shift: out[:, j] = v[:, j-1], out[:, 0] = NEG (log 0)."""
+    rolled = pltpu.roll(v, shift=1, axis=1)
+    return jnp.where(lane_iota >= 1, rolled, NEG)
+
+
+def _la_log_kernel(params_ref, s_ref, lx_ref, ly_ref, t_ref,
+                   acc_ref, m_sc, x_sc, y_sc):
+    """True log-space LA DP; the Y gap closure is a per-row-rescaled matmul.
+
+    The M/X updates use elementwise logaddexp on the VPU (exact log space —
+    the "+1" fresh-start floor at every cell costs nothing here, unlike a
+    globally-scaled exp DP which cannot represent it once the scale exceeds
+    the f32 range).  The within-row Y recurrence
+        Y[j] = logaddexp(lbe + Y[j-1], q[j])
+    is closed as Y = c + log(exp(q - c) @ T) with c = rowmax(q) and
+    T[k, j] = exp(lbe (j-k)): one MXU matmul instead of a sequential scan.
+    The rescale drops Y terms > ~87 log units below the row max of q —
+    negligible since Y only carries decaying gap mass (be < 1) that re-enters
+    M alongside the exactly-kept M/X terms of the same columns.
+    """
+    i = pl.program_id(1)
+    beta = params_ref[0, 0]
+    lbg = params_ref[0, 1]
+    lbe = params_ref[0, 2]
+
+    bb, ly = m_sc.shape
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (bb, ly), 1)
+
+    @pl.when(i == 0)
+    def _():
+        m_sc[:] = jnp.full_like(m_sc, NEG)
+        x_sc[:] = jnp.full_like(x_sc, NEG)
+        y_sc[:] = jnp.full_like(y_sc, NEG)
+        acc_ref[:] = jnp.full_like(acc_ref, NEG)
+
+    colmask = lane_iota < ly_ref[:]
+    rowmask = i < lx_ref[:]
+    le = jnp.where(colmask & rowmask, beta * s_ref[0], NEG)
+
+    lm, lx_, ly_ = m_sc[:], x_sc[:], y_sc[:]
+    # lse3 of the previous states (elementwise, 3 exps + 1 log)
+    c3 = jnp.maximum(lm, jnp.maximum(lx_, ly_))
+    lse3 = c3 + jnp.log(
+        jnp.exp(lm - c3) + jnp.exp(lx_ - c3) + jnp.exp(ly_ - c3)
+    )
+    m = le + jnp.logaddexp(0.0, _shift1_log(lse3, lane_iota))
+    x = jnp.logaddexp(lbg + lm, lbe + lx_)
+    # one shared row scale: em/ex serve the Y closure AND the row-lse of M
+    r = jnp.max(jnp.maximum(m, x), axis=1, keepdims=True)
+    em = jnp.exp(m - r)
+    ex = jnp.exp(x - r)
+    ey = jnp.dot(_shift1(em + ex, lane_iota), t_ref[:],
+                 preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    y = (r + lbg) + jnp.log(jnp.maximum(ey, 1e-38))
+
+    m_sc[:] = m
+    x_sc[:] = x
+    y_sc[:] = y
+    rowlse = r[:, 0:1] + jnp.log(
+        jnp.maximum(jnp.sum(em, axis=1, keepdims=True), 1e-38)
+    )
+    acc_ref[:] = jnp.logaddexp(acc_ref[:], rowlse)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def la_log_pallas(
+    scores: jax.Array,
+    lx: jax.Array,
+    ly: jax.Array,
+    beta,
+    gap,
+    ext,
+    *,
+    block_b: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """log K of the sum-over-alignments LA kernel, overflow-safe for any L.
+
+    Equivalent to ``local_alignment_log`` (stem_kernel_tpu/models/bpla.py) but
+    runs the scaled exp-domain DP on the MXU instead of logaddexp per cell.
+    """
+    bsz, max_lx, max_ly = scores.shape
+    dt = jnp.float32
+    beta = jnp.asarray(beta, dt)
+    log_be = beta * jnp.asarray(ext, dt)
+    params = jnp.stack(
+        [beta, beta * jnp.asarray(gap, dt), log_be]
+    ).reshape(1, 3)
+
+    bb = min(block_b, _round_up(bsz, SUBLANE))
+    bb = _round_up(bb, SUBLANE)
+    b_pad = _round_up(bsz, bb)
+    ly_pad = _round_up(max_ly, LANE)
+
+    s = jnp.swapaxes(scores.astype(dt), 0, 1)
+    s = jnp.pad(s, ((0, 0), (0, b_pad - bsz), (0, ly_pad - max_ly)))
+    lx_c = jnp.pad(jnp.asarray(lx, jnp.int32), (0, b_pad - bsz)).reshape(-1, 1)
+    ly_c = jnp.pad(jnp.asarray(ly, jnp.int32), (0, b_pad - bsz)).reshape(-1, 1)
+    t_mat = _closure_matrix(log_be, ly_pad)
+
+    grid = (b_pad // bb, max_lx)
+    acc = pl.pallas_call(
+        _la_log_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bb, ly_pad), lambda b, i: (i, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ly_pad, ly_pad), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, 1), lambda b, i: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad, 1), dt),
+        scratch_shapes=[
+            pltpu.VMEM((bb, ly_pad), dt),
+            pltpu.VMEM((bb, ly_pad), dt),
+            pltpu.VMEM((bb, ly_pad), dt),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=24 * b_pad * max_lx * ly_pad
+            + 2 * b_pad * max_lx * ly_pad * ly_pad,
+            bytes_accessed=4 * b_pad * max_lx * ly_pad,
+            transcendentals=10 * b_pad * max_lx * ly_pad,
+        ),
+        interpret=interpret,
+    )(params, s, lx_c, ly_c, t_mat)
+    return jnp.logaddexp(0.0, acc[:bsz, 0])
+
+
+def la_log_auto(scores, lx, ly, beta, gap, ext, *, block_b: int = 512):
+    """Dispatch: scaled-domain Pallas on TPU, log-space scan elsewhere."""
+    if jax.default_backend() in ("tpu", "axon"):
+        return la_log_pallas(scores, lx, ly, beta, gap, ext, block_b=block_b)
+    from ..models.bpla import local_alignment_log, pair_mask
+
+    mask = pair_mask(jnp.asarray(lx), scores.shape[1],
+                     jnp.asarray(ly), scores.shape[2])
+    return local_alignment_log(scores, mask, beta, gap, ext)
+
+
 def la_exp_auto(scores, lx, ly, beta, gap, ext, *, block_b: int = 512):
     """Dispatch: Pallas on TPU, interpreter-free scan fallback elsewhere."""
     if jax.default_backend() in ("tpu", "axon"):

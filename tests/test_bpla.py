@@ -223,3 +223,41 @@ def test_pallas_la_interpret_matches_scan():
     mask = pair_mask(jnp.asarray(lx), 9, jnp.asarray(ly), 7)
     want = np.asarray(local_alignment_exp(jnp.asarray(S), mask, beta, gap, ext))
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_pallas_la_log_interpret_matches_scan():
+    from stem_kernel_tpu.models.bpla import local_alignment_log
+    from stem_kernel_tpu.ops.pallas_la import la_log_pallas
+
+    beta, gap, ext = 0.11, -8.0, -0.75
+    S = rand_scores(5, 9, 7, lo=-3.0, hi=4.0)
+    lx = np.array([9, 6, 3, 9, 1], np.int32)
+    ly = np.array([7, 7, 2, 5, 1], np.int32)
+    got = np.asarray(
+        la_log_pallas(
+            jnp.asarray(S), jnp.asarray(lx), jnp.asarray(ly), beta, gap, ext,
+            block_b=8, interpret=True,
+        )
+    )
+    mask = pair_mask(jnp.asarray(lx), 9, jnp.asarray(ly), 7)
+    want = np.asarray(local_alignment_log(jnp.asarray(S), mask, beta, gap, ext))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_pallas_la_log_long_sequences_finite():
+    # exp space overflows f32 at this length; the scaled DP must stay finite
+    from stem_kernel_tpu.models.bpla import local_alignment_log
+    from stem_kernel_tpu.ops.pallas_la import la_log_pallas
+
+    beta, gap, ext = 0.11, -8.0, -0.75
+    S = np.full((2, 160, 160), 15.0, np.float32)
+    lx = np.array([160, 120], np.int32)
+    ly = np.array([160, 160], np.int32)
+    got = np.asarray(
+        la_log_pallas(jnp.asarray(S), jnp.asarray(lx), jnp.asarray(ly),
+                      beta, gap, ext, block_b=8, interpret=True)
+    )
+    mask = pair_mask(jnp.asarray(lx), 160, jnp.asarray(ly), 160)
+    want = np.asarray(local_alignment_log(jnp.asarray(S), mask, beta, gap, ext))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, rtol=1e-4)
