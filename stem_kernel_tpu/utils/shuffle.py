@@ -14,21 +14,34 @@ import numpy as np
 
 def dinucleotide_shuffle(seq: str, rng: np.random.Generator | None = None) -> str:
     """Return a random shuffle of ``seq`` preserving dinucleotide counts."""
+    out, _ = dinucleotide_shuffle_indices(list(seq), rng)
+    return "".join(out)
+
+
+def dinucleotide_shuffle_indices(
+    tokens: list, rng: np.random.Generator | None = None
+) -> tuple[list, list[int]]:
+    """Eulerian-path shuffle of arbitrary hashable tokens, returning indices.
+
+    Returns (shuffled_tokens, original_positions) like the array form of the
+    reference's dishuffle (dishuffle_array, utils/dishuffle.rb:44-82) whose
+    index output drives the alignment-column shuffle in dishuffle_aln.rb.
+    """
     if rng is None:
         rng = np.random.default_rng()
-    s = list(seq)
+    s = list(tokens)
     if len(s) < 3:
-        return seq
+        return s, list(range(len(s)))
 
     last = s[-1]
     while True:
-        # edge lists: for each symbol, the multiset of successors
-        edges: dict[str, list[str]] = {}
-        for a, b in zip(s[:-1], s[1:]):
-            edges.setdefault(a, []).append(b)
+        # edge lists: for each symbol, the multiset of (successor, position)
+        edges: dict = {}
+        for i in range(1, len(s)):
+            edges.setdefault(s[i - 1], []).append((s[i], i))
 
         # choose a random "last edge" per non-terminal vertex
-        ledge: dict[str, str] = {}
+        ledge: dict = {}
         for v, succs in edges.items():
             if v == last:
                 continue
@@ -36,13 +49,13 @@ def dinucleotide_shuffle(seq: str, rng: np.random.Generator | None = None) -> st
             ledge[v] = succs.pop(i)
 
         # check: following last edges from every vertex must reach `last`
-        def reaches(v: str) -> bool:
+        def reaches(v) -> bool:
             seen = set()
             while v != last:
                 if v in seen or v not in ledge:
                     return v == last
                 seen.add(v)
-                v = ledge[v]
+                v = ledge[v][0]
             return True
 
         if all(reaches(v) for v in ledge):
@@ -57,8 +70,10 @@ def dinucleotide_shuffle(seq: str, rng: np.random.Generator | None = None) -> st
         edges.setdefault(v, []).append(w)  # last edges go last
 
     out = [s[0]]
+    idx = [0]
     cur = s[0]
     while cur in edges and edges[cur]:
-        cur = edges[cur].pop(0)
+        cur, i = edges[cur].pop(0)
         out.append(cur)
-    return "".join(out)
+        idx.append(i)
+    return out, idx

@@ -128,3 +128,98 @@ def test_stage_timer_and_memory_probe():
     assert t.totals["fold"] > 0
     probe = dag_memory_probe([dag])
     assert probe["total_bytes"] > 0 and probe["max_live_nodes"] >= 1
+
+
+def test_dinucleotide_shuffle_indices_permutation():
+    from stem_kernel_tpu.utils.shuffle import dinucleotide_shuffle_indices
+
+    rng = np.random.default_rng(5)
+    toks = list("ACGUACGUUGCAACGGUU")
+    out, idx = dinucleotide_shuffle_indices(toks, rng)
+    assert sorted(idx) == list(range(len(toks)))
+    assert [toks[i] for i in idx] == out
+    # dinucleotide counts preserved
+    def counts(s):
+        d = {}
+        for a, b in zip(s[:-1], s[1:]):
+            d[(a, b)] = d.get((a, b), 0) + 1
+        return d
+    assert counts(out) == counts(toks)
+
+
+def test_roc_p_main(tmp_path, capsys):
+    from stem_kernel_tpu.cli.utils_cli import roc_p_main
+
+    ans = tmp_path / "ans.txt"
+    ans.write_text("1\n1\n-1\n-1\n")
+    pred = tmp_path / "pred.txt"
+    pred.write_text(
+        "labels 1 -1\n"
+        "1 0.9 0.1\n"
+        "1 0.8 0.2\n"
+        "-1 0.3 0.7\n"
+        "1 0.6 0.4\n"  # wrong prediction of a negative
+    )
+    assert roc_p_main([str(ans), str(pred)]) == 0
+    out = capsys.readouterr().out
+    assert "acc=75.0" in out
+    assert "ROC score = 1.0" in out  # probs perfectly rank pos above neg
+
+
+def test_submatrix_test_main(tmp_path):
+    from stem_kernel_tpu.cli.utils_cli import submatrix_test_main
+    from stem_kernel_tpu.gram.io import read_precomputed, write_precomputed
+
+    g = np.arange(12, dtype=np.float64).reshape(3, 4)
+    src = str(tmp_path / "in.dat")
+    write_precomputed(src, ["+1", "-1", "+1"], g)
+    dst = str(tmp_path / "out.dat")
+    assert submatrix_test_main(["2", src, dst]) == 0
+    labels, g2 = read_precomputed(dst)
+    assert g2.shape == (3, 2)
+    np.testing.assert_allclose(g2, g[:, :2])
+
+
+def test_p_norm_inverts_norm_tail():
+    from stem_kernel_tpu.cli.utils_cli import _norm_tail, p_norm
+
+    for y in (-0.45, -0.2, 0.0, 0.1, 0.3, 0.49):
+        assert abs(_norm_tail(p_norm(y)) - y) < 1e-9
+
+
+def test_dishuffle_aln_main(tmp_path):
+    from stem_kernel_tpu.cli.utils_cli import dishuffle_aln_main
+    from stem_kernel_tpu.io.parsers import parse_clustal
+
+    aln_text = (
+        "CLUSTAL W (1.83) multiple sequence alignment\n\n"
+        "s1  ACGUACGUACGUACGU\n"
+        "s2  ACGU-CGUACGAACGU\n"
+        "s3  ACGUACGUACGCACG-\n"
+    )
+    src = tmp_path / "in.aln"
+    src.write_text(aln_text)
+    dst = tmp_path / "out.aln"
+    assert dishuffle_aln_main([str(src), str(dst), "11"]) == 0
+    shuffled = parse_clustal(dst.read_text())[0]
+    orig = parse_clustal(aln_text)[0]
+    assert [n for n, _ in shuffled] == [n for n, _ in orig]
+    # same multiset of columns
+    ocols = sorted(zip(*[s for _, s in orig]))
+    scols = sorted(zip(*[s for _, s in shuffled]))
+    assert ocols == scols
+
+
+def test_dishuffle_fa_pos_main(tmp_path):
+    from stem_kernel_tpu.cli.utils_cli import dishuffle_fa_pos_main
+    from stem_kernel_tpu.io.parsers import parse_fasta
+
+    seq = "ACGUACGGUUCAACGGAUUACGAUCCGAUGCAU"
+    src = tmp_path / "in.fa"
+    src.write_text(f">x\n{seq}\n")
+    dst = tmp_path / "out.fa"
+    assert dishuffle_fa_pos_main([str(src), str(dst), "3"]) == 0
+    (name, emb), = parse_fasta(dst.read_text())
+    assert seq in emb
+    assert len(emb) >= len(seq)
+    assert "orig 33" in name
