@@ -19,7 +19,9 @@ import jax
 
 
 def main(n_seqs: int = 100, seq_len: int = 100) -> None:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/skt_jax_cache")
+    from stem_kernel_tpu.cli.app import enable_compile_cache
+
+    enable_compile_cache()
     rng = np.random.default_rng(0)
 
     from stem_kernel_tpu.fold.bpmatrix import bpp_for_alignments

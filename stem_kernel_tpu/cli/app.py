@@ -125,6 +125,19 @@ def load_labeled(labels: list[str], files: list[str], verbose: bool = True):
 Featurizer = Callable[[list[Alignment]], tuple[Mapping[str, np.ndarray], object]]
 
 
+def enable_compile_cache() -> None:
+    """Persist XLA executables across CLI invocations.
+
+    Kernel CLIs are short-lived processes over long-compiling programs; the
+    on-disk cache turns every run after the first into a cache hit."""
+    import jax
+
+    if jax.config.jax_compilation_cache_dir is None:
+        jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/stem_kernel_tpu_jax_cache"
+        )
+
+
 def run_app(
     opts: AppOptions,
     featurize: Featurizer,
@@ -139,6 +152,7 @@ def run_app(
     ``log_kernel``: the kernel_fn returns log K; normalization happens in log
     space (overflow-safe for long sequences).
     """
+    enable_compile_cache()
     t_start = time.time()
     train_alns, train_labels = load_labeled(opts.labels, opts.files)
     if not opts.predict_mode:

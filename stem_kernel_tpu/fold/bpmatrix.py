@@ -38,14 +38,23 @@ class BPMatrixOptions:
     alifold: bool = False
     n_samples: int = 0  # >0 -> stochastic sampling (SFOLD)
     params: EnergyParams | None = None
-    pad_multiple: int = 16
+    pad_multiple: int = 0  # 0 -> geometric buckets (compile-count bounded)
 
     def resolved_params(self) -> EnergyParams:
         return self.params if self.params is not None else default_params()
 
 
 def _pad_len(n: int, multiple: int) -> int:
-    return max(multiple, -(-n // multiple) * multiple)
+    """Padded length bucket.  ``multiple`` 0 picks geometric buckets
+    (32, 48, 64, 96, 128, ...): every fold length compiles one of O(log n)
+    program variants instead of one per 16-mer bucket — XLA compile time,
+    not padding FLOPs, dominates varied-length corpora."""
+    if multiple > 0:
+        return max(multiple, -(-n // multiple) * multiple)
+    b = 32
+    while b < n:
+        b = b * 3 // 2 if (b & (b - 1)) == 0 else -(-b * 4 // 3)
+    return b
 
 
 def fold_sequences(

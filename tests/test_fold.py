@@ -77,11 +77,21 @@ def test_batch_matches_single():
     for i, s in enumerate(seqs):
         codes[i, : len(s)] = encode(s)
         lens[i] = len(s)
+    # the batch path defaults to the f32 scaled engine; the per-sequence
+    # oracle is the f64 log engine, so tolerances are f32-level
     bpps, zs = mccaskill_bpp_batch(codes, lens, params=PARAMS, dtype=jnp.float64)
     for i, s in enumerate(seqs):
         b1, z1 = mccaskill_bpp(encode(s), params=PARAMS, dtype=jnp.float64)
-        np.testing.assert_allclose(zs[i], z1, rtol=1e-12)
-        np.testing.assert_allclose(bpps[i, : len(s), : len(s)], b1, atol=1e-12)
+        np.testing.assert_allclose(zs[i], z1, rtol=1e-5)
+        np.testing.assert_allclose(bpps[i, : len(s), : len(s)], b1, atol=5e-6)
+    # exact-parity path stays available
+    bpps_l, zs_l = mccaskill_bpp_batch(
+        codes, lens, params=PARAMS, dtype=jnp.float64, engine="log"
+    )
+    for i, s in enumerate(seqs):
+        b1, z1 = mccaskill_bpp(encode(s), params=PARAMS, dtype=jnp.float64)
+        np.testing.assert_allclose(zs_l[i], z1, rtol=1e-12)
+        np.testing.assert_allclose(bpps_l[i, : len(s), : len(s)], b1, atol=1e-12)
 
 
 def test_probability_mass_bounds():
@@ -161,3 +171,45 @@ def test_sfold_samples_are_valid_structures():
             for b in range(a + 1, len(sp)):
                 (i1, j1), (i2, j2) = sp[a], sp[b]
                 assert j1 < i2 or j2 < j1, f"crossing {sp[a]} {sp[b]}"
+
+
+def test_scaled_engine_matches_log_oracle():
+    """The fast scaled linear-domain engine vs the exact log-space oracle."""
+    from stem_kernel_tpu.fold.mccaskill import mccaskill_bpp
+    from stem_kernel_tpu.fold.mccaskill_scaled import mccaskill_bpp_batch_scaled
+    from stem_kernel_tpu.io.alphabet import encode
+
+    rng = np.random.default_rng(7)
+    seqs = ["ggggaaaacccc"] + [
+        "".join(rng.choice(list("acgu"), size=int(rng.integers(15, 45))))
+        for _ in range(4)
+    ]
+    n = max(len(s) for s in seqs)
+    codes = np.stack([np.pad(encode(s), (0, n - len(s))) for s in seqs])
+    lengths = np.array([len(s) for s in seqs])
+    bpps, logZs = mccaskill_bpp_batch_scaled(codes, lengths)
+    for k, s in enumerate(seqs):
+        bpp_o, lz_o = mccaskill_bpp(encode(s), len(s))
+        m = len(s)
+        assert abs(logZs[k] - lz_o) <= 1e-5 * max(abs(lz_o), 1.0)
+        np.testing.assert_allclose(bpps[k][:m, :m], bpp_o[:m, :m], atol=5e-6)
+
+
+def test_scaled_engine_long_sequence_stays_finite():
+    """Per-span rescaling must survive lengths whose Z overflows f32."""
+    from stem_kernel_tpu.fold.mccaskill_scaled import mccaskill_bpp_batch_scaled
+    from stem_kernel_tpu.io.alphabet import encode
+
+    rng = np.random.default_rng(3)
+    # strong GC hairpin: Z grows ~exp(5.3 * stems); length 300 -> logZ >> 88
+    stem = "".join(rng.choice(list("gc"), size=140))
+    comp = {"g": "c", "c": "g"}
+    seq = stem + "aaaa" + "".join(comp[c] for c in reversed(stem))
+    codes = np.asarray(encode(seq))[None, :]
+    lengths = np.array([len(seq)])
+    bpps, logZs = mccaskill_bpp_batch_scaled(codes, lengths)
+    assert np.isfinite(logZs).all() and logZs[0] > 100.0
+    assert np.isfinite(bpps).all()
+    assert bpps.max() <= 1.0 + 1e-6
+    # the designed helix should be confidently paired
+    assert bpps[0, 0, len(seq) - 1] > 0.5
