@@ -56,18 +56,29 @@ def main(n_seqs: int = 100, seq_len: int = 100) -> None:
     labels = ["+1"] * len(pos) + ["-1"] * len(neg)
     alns = [Alignment(rows=[s]) for s in seqs]
 
-    t = StageTimer()
-    with t.stage("fold", items=len(seqs)):
-        bpps = bpp_for_alignments(alns)
-    with t.stage("featurize", items=len(seqs)):
-        feats = bpla_features(alns, bpps)
     kernel = BPLAKernel()
-    with t.stage("gram", items=len(seqs) * (len(seqs) + 1) // 2):
-        # log-space evaluation + log-space normalization (overflow-safe)
-        eng = PairKernelEngine(kernel.log_value, feats, batch_size=512, log_values=True)
-        g = eng.gram(normalize=True)
-    with t.stage("svm_cv", items=len(seqs)):
-        preds = svm_cross_validation(g, labels, 5, C=1.0)
+
+    def pipeline(timer: StageTimer):
+        with timer.stage("fold", items=len(seqs)):
+            bpps = bpp_for_alignments(alns)
+        with timer.stage("featurize", items=len(seqs)):
+            feats = bpla_features(alns, bpps)
+        with timer.stage("gram", items=len(seqs) * (len(seqs) + 1) // 2):
+            # log-space evaluation + log-space normalization (overflow-safe)
+            eng = PairKernelEngine(
+                kernel.log_value, feats, batch_size=512, log_values=True
+            )
+            g = eng.gram(normalize=True)
+        with timer.stage("svm_cv", items=len(seqs)):
+            preds = svm_cross_validation(g, labels, 5, C=1.0)
+        return preds
+
+    # untimed warmup pass absorbs per-process trace/lower/compile costs so
+    # the reported stages measure steady-state throughput
+    t_cold = StageTimer()
+    pipeline(t_cold)
+    t = StageTimer()
+    preds = pipeline(t)
     # decision-value AUC via fold models
     y = np.array([1 if l == "+1" else -1 for l in labels])
     acc = float(np.mean([p == l for p, l in zip(preds, labels)]))
@@ -84,6 +95,7 @@ def main(n_seqs: int = 100, seq_len: int = 100) -> None:
         "n_seqs": len(seqs),
         "seq_len": seq_len,
         "total_seconds": round(total, 2),
+        "cold_total_seconds": round(sum(t_cold.totals.values()), 2),
         "cv_accuracy": round(acc, 4),
         "platform": jax.devices()[0].platform,
     }))

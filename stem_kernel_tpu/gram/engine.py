@@ -88,6 +88,11 @@ class PairKernelEngine:
         ix_p = np.concatenate([ix, np.zeros(pad, ix.dtype)])
         iy_p = np.concatenate([iy, np.zeros(pad, iy.dtype)])
         out = np.empty(n_batches * bs, dtype=np.float32)
+        # dispatch every batch before fetching any result: JAX's async
+        # dispatch queues the device work so compute, host transfers, and
+        # (over a TPU tunnel) round-trip latency all overlap across batches
+        # instead of serializing dispatch->fetch per batch.
+        pending: list[tuple[int, object]] = []
         for b in range(n_batches):
             if checkpoint is not None and checkpoint.is_done(b):
                 vals = checkpoint.load_batch(b)
@@ -100,7 +105,9 @@ class PairKernelEngine:
 
                 bix = shard_pairs(self.mesh, bix)
                 biy = shard_pairs(self.mesh, biy)
-            vals = np.asarray(self._eval(self.features, feats_y, bix, biy))
+            pending.append((b, self._eval(self.features, feats_y, bix, biy)))
+        for b, dev_vals in pending:
+            vals = np.asarray(dev_vals)
             out[b * bs : (b + 1) * bs] = vals
             if checkpoint is not None:
                 checkpoint.store_batch(b, vals)
