@@ -44,8 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     k.add_argument("-a", "--alpha", type=float, default=4.5, help="alpha")
     k.add_argument("-b", "--beta", type=float, default=0.11, help="beta")
     k.add_argument("--score", default="", help="score table file")
-    p.add_argument("--use-alifold", action="store_true",
-                   help="use consensus folding for alignments")
+    from .stem_kernel_lite import add_fold_options
+
+    add_fold_options(p)
     add_common_options(p)
     return p
 
@@ -63,7 +64,9 @@ def main(argv=None) -> int:
         alpha=ns.alpha,
         beta=ns.beta,
     )
-    bp_opts = BPMatrixOptions(alifold=ns.use_alifold)
+    from .stem_kernel_lite import fold_opts_from
+
+    bp_opts = fold_opts_from(ns)
 
     def featurize(alignments):
         bpps = bpp_for_alignments(alignments, bp_opts)

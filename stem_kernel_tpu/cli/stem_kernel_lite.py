@@ -29,16 +29,22 @@ def add_fold_options(p: argparse.ArgumentParser) -> None:
                    help="disallow lonely base-pairs (accepted; approximated)")
     p.add_argument("--use-alifold", action="store_true",
                    help="use consensus folding for alignments")
+    p.add_argument("--use-contrafold", metavar="PARAMS", default=None,
+                   help="fold with a trained CLLM parameter file "
+                        "(the CONTRAfold-method equivalent; see "
+                        "fold.params.load_params_file for the format)")
 
 
 def fold_opts_from(ns: argparse.Namespace) -> BPMatrixOptions:
     opts = BPMatrixOptions(alifold=ns.use_alifold)
+    if getattr(ns, "use_contrafold", None):
+        from ..fold.params import load_params_file
+
+        opts.params = load_params_file(ns.use_contrafold)
     if ns.noGU:
-        import numpy as np
+        from ..fold.params import default_params
 
-        from ..fold.params import PAIR_TYPE, default_params
-
-        params = default_params()
+        params = opts.params or default_params()
         # disallow GU/UG by giving those pair types -inf bonus
         params.pair_bonus = params.pair_bonus.copy()
         params.pair_bonus[2] = -1e30  # GU

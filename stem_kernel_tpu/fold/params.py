@@ -113,3 +113,54 @@ def interior_score(params: EnergyParams, n1: np.ndarray, n2: np.ndarray) -> np.n
         + params.interior_asym * np.abs(n1 - n2)
     )
     return np.where((n1 == 0) | (n2 == 0), bulge, interior)
+
+
+def load_params_file(path: str) -> EnergyParams:
+    """Load an energy/CLLM parameter set from a text file.
+
+    This is the framework's CONTRAfold hook: the reference's CONTRAFOLD
+    method delegates base-pair posteriors to the external CONTRAfold
+    library's trained conditional log-linear model
+    (/root/reference/common/bpmatrix.cpp:264-283, gated behind
+    --with-contrafold at configure time).  Here the same capability is a
+    swappable parameterization of the in-framework partition function:
+    trained log-linear weights are loaded from a file and drive the exact
+    same scaled inside/outside engine.  (Externally computed posteriors can
+    instead be supplied directly via the IMPORT path of fold.bpmatrix.)
+
+    Format: one entry per line, '#' comments.
+      <scalar_name> <value>           e.g.  hairpin_init -9.25
+      pair_bonus <PAIR> <value>       e.g.  pair_bonus GU -0.5
+      stack <PAIR> <PAIR> <value>     e.g.  stack CG GC 5.3
+    Pair names: CG GC GU UG AU UA.  All values are log-weights (score/kT).
+    Unspecified entries keep the built-in Turner-flavoured defaults.
+    """
+    pair_names = {"CG": 0, "GC": 1, "GU": 2, "UG": 3, "AU": 4, "UA": 5}
+    scalars = {
+        "hairpin_init", "hairpin_slope", "bulge_init", "bulge_slope",
+        "interior_init", "interior_slope", "interior_asym",
+        "ml_close", "ml_branch", "ml_unpaired",
+    }
+    ints = {"max_interior", "min_hairpin"}
+    p = default_params()
+    p.stack = p.stack.copy()
+    p.pair_bonus = p.pair_bonus.copy()
+    with open(path) as f:
+        for lineno, line in enumerate(f, 1):
+            line = line.split("#")[0].strip()
+            if not line:
+                continue
+            parts = line.split()
+            key = parts[0]
+            if key in scalars and len(parts) == 2:
+                setattr(p, key, float(parts[1]))
+            elif key in ints and len(parts) == 2:
+                setattr(p, key, int(parts[1]))
+            elif key == "pair_bonus" and len(parts) == 3:
+                p.pair_bonus[pair_names[parts[1].upper()]] = float(parts[2])
+            elif key == "stack" and len(parts) == 4:
+                p.stack[pair_names[parts[1].upper()],
+                        pair_names[parts[2].upper()]] = float(parts[3])
+            else:
+                raise ValueError(f"{path}:{lineno}: bad parameter line {line!r}")
+    return p

@@ -161,3 +161,55 @@ def test_stem_kernel_lite_predict_flow(tmp_path):
     assert len(open(norm_out).read().splitlines()) == 4
     labels_ts, rows = read_precomputed(test_out)
     assert rows.shape == (4, 8)
+
+
+def test_contrafold_params_file(tmp_path):
+    """--use-contrafold swaps in a loaded CLLM parameter set."""
+    from stem_kernel_tpu.fold.params import default_params, load_params_file
+    from stem_kernel_tpu.fold.mccaskill import mccaskill_bpp
+    from stem_kernel_tpu.io.alphabet import encode
+
+    pf = tmp_path / "cf.params"
+    pf.write_text(
+        "# CLLM weights\n"
+        "hairpin_init -5.0\n"
+        "pair_bonus GU -3.0\n"
+        "stack CG GC 6.5\n"
+        "ml_branch -1.0\n"
+    )
+    p = load_params_file(str(pf))
+    d = default_params()
+    assert p.hairpin_init == -5.0
+    assert p.pair_bonus[2] == -3.0
+    assert p.stack[0, 1] == 6.5
+    assert p.ml_branch == -1.0
+    assert p.stack[1, 0] == d.stack[1, 0]  # untouched entries keep defaults
+    # the loaded params actually change the fold
+    seq = encode("ggcgaaacgcc")
+    b1, z1 = mccaskill_bpp(seq, params=d)
+    b2, z2 = mccaskill_bpp(seq, params=p)
+    assert abs(z1 - z2) > 1e-3
+
+    import pytest
+    bad = tmp_path / "bad.params"
+    bad.write_text("no_such_param 1.0\n")
+    with pytest.raises(ValueError):
+        load_params_file(str(bad))
+
+
+def test_stem_kernel_lite_use_contrafold_flag(tmp_path):
+    from stem_kernel_tpu.cli.stem_kernel_lite import main as sk_main
+
+    pf = tmp_path / "cf.params"
+    pf.write_text("hairpin_init -4.0\nstack CG GC 6.0\n")
+    pos = tmp_path / "pos.fa"
+    pos.write_text(">a\nggcgaaacgcc\n>b\nggggaaaacccc\n")
+    neg = tmp_path / "neg.fa"
+    neg.write_text(">c\nacguacguacg\n>d\nuuuagggcaau\n")
+    out1 = tmp_path / "km1.dat"
+    out2 = tmp_path / "km2.dat"
+    assert sk_main([str(out1), "+1", str(pos), "-1", str(neg)]) == 0
+    assert sk_main(["--use-contrafold", str(pf), str(out2), "+1", str(pos), "-1", str(neg)]) == 0
+    m1 = [l.split()[2:] for l in open(out1)]
+    m2 = [l.split()[2:] for l in open(out2)]
+    assert m1 != m2  # parameter set changed the Gram matrix
