@@ -452,15 +452,34 @@ def _bpp_vmapped(codes, lengths, params_key, w_extra):
     )
 
 
+def _batch_bucket(b: int) -> int:
+    """Geometric batch buckets (8, 16, 32, ...): recompiles are bounded by
+    O(log B) variants instead of one per dataset size."""
+    n = 8
+    while n < b:
+        n *= 2
+    return n
+
+
 def mccaskill_bpp_batch_scaled(
     codes_batch: np.ndarray,
     lengths: np.ndarray,
     params: EnergyParams | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Batched (bpp, logZ): one vmapped device program for the whole batch."""
+    """Batched (bpp, logZ): one vmapped device program for the whole batch.
+
+    Both the sequence-length axis (bucketed by the caller) and the batch
+    axis (bucketed here) are padded so any corpus hits a small, cached set
+    of compiled programs; padded rows fold a zero-length sequence.
+    """
     params = params or default_params()
     key = _register(params)
-    codes = jnp.asarray(codes_batch, jnp.int32)
-    lengths = jnp.asarray(np.asarray(lengths), jnp.int32)
-    bpp, logZ = _bpp_vmapped(codes, lengths, key, None)
-    return np.asarray(bpp), np.asarray(logZ)
+    codes_np = np.asarray(codes_batch)
+    b = codes_np.shape[0]
+    b_pad = _batch_bucket(b)
+    codes_np = np.pad(codes_np, ((0, b_pad - b), (0, 0)))
+    lens_np = np.pad(np.asarray(lengths), (0, b_pad - b))
+    codes = jnp.asarray(codes_np, jnp.int32)
+    lens = jnp.asarray(lens_np, jnp.int32)
+    bpp, logZ = _bpp_vmapped(codes, lens, key, None)
+    return np.asarray(bpp[:b]), np.asarray(logZ[:b])
