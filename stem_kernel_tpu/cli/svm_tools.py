@@ -23,7 +23,12 @@ from ..svm.train import (
 
 def train_main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="skt-svm-train")
+    p.add_argument("-s", type=int, default=0, dest="svm_type",
+                   help="svm type: 0 C-SVC, 2 one-class, 3 epsilon-SVR")
     p.add_argument("-c", type=float, default=1.0, dest="C", help="cost parameter C")
+    p.add_argument("-n", type=float, default=0.5, dest="nu", help="nu (one-class)")
+    p.add_argument("-p", type=float, default=0.1, dest="tube",
+                   help="epsilon in the SVR loss function")
     p.add_argument("-e", type=float, default=1e-3, dest="eps", help="stopping tolerance")
     p.add_argument("-b", type=int, default=0, dest="probability",
                    help="1: train probability estimates")
@@ -33,13 +38,26 @@ def train_main(argv=None) -> int:
     p.add_argument("model", nargs="?", help="output model file")
     ns = p.parse_args(argv)
     labels, K = read_precomputed(ns.matrix)
+    out = ns.model or (ns.matrix + ".model")
+    if ns.svm_type in (1, 4):
+        raise SystemExit("nu-SVC/nu-SVR are not supported; use -s 0/2/3")
+    if ns.svm_type in (2, 3):
+        from ..svm.variants import one_class_train, save_variant_model, svr_train
+
+        if ns.svm_type == 2:
+            vmodel = one_class_train(K, ns.nu, eps=ns.eps)
+        else:
+            z = np.array([float(l) for l in labels])
+            vmodel = svr_train(K, z, C=ns.C, p=ns.tube, eps=ns.eps)
+        save_variant_model(out, vmodel)
+        print(f"model saved to {out} ({len(vmodel.sv_index)} SVs)")
+        return 0
     if ns.folds > 1:
         preds = svm_cross_validation(K, labels, ns.folds, C=ns.C, eps=ns.eps)
         acc = float(np.mean([a == b for a, b in zip(preds, labels)]))
         print(f"Cross Validation Accuracy = {acc * 100:g}%")
         return 0
     model = svm_train(K, labels, C=ns.C, eps=ns.eps, probability=bool(ns.probability))
-    out = ns.model or (ns.matrix + ".model")
     save_model(out, model)
     print(f"model saved to {out} ({model.total_sv} SVs)")
     return 0
@@ -53,6 +71,24 @@ def predict_main(argv=None) -> int:
     p.add_argument("output", nargs="?", help="prediction output file")
     ns = p.parse_args(argv)
     labels, rows = read_precomputed(ns.test)
+    first = open(ns.model).readline().split()
+    if len(first) == 2 and first[1] in ("one_class", "epsilon_svr"):
+        from ..svm.variants import load_variant_model
+
+        vmodel = load_variant_model(ns.model)
+        lines = []
+        for t in range(len(labels)):
+            f = vmodel.decision(rows[t])
+            if vmodel.svm_type == "one_class":
+                lines.append(f"{1 if f > 0 else -1} {f:g}")
+            else:
+                lines.append(f"{f:g}")
+        out_text = "\n".join(lines) + "\n"
+        if ns.output:
+            open(ns.output, "w").write(out_text)
+        else:
+            print(out_text, end="")
+        return 0
     model = load_model(ns.model)
     lines = []
     correct = 0

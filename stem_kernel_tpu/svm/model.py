@@ -22,7 +22,7 @@ def save_model(path: str, model: SVCModel) -> None:
         f.write("kernel_type precomputed\n")
         f.write(f"nr_class {model.nr_class}\n")
         f.write(f"total_sv {model.total_sv}\n")
-        f.write("rho " + " ".join(f"{r:g}" for r in model.rho) + "\n")
+        f.write("rho " + " ".join(f"{r:.17g}" for r in model.rho) + "\n")
         f.write("label " + " ".join(model.labels) + "\n")
         if model.prob_A is not None:
             f.write("probA " + " ".join(f"{v:g}" for v in model.prob_A) + "\n")

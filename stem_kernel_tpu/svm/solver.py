@@ -44,8 +44,13 @@ def smo_solve(
     *,
     eps: float = 1e-3,
     max_iter: int | None = None,
+    alpha0: np.ndarray | None = None,
 ) -> SolverResult:
     """Run SMO to convergence.  K: (n, n) kernel; y: (n,) in {+1,-1}.
+
+    ``alpha0``: optional feasible warm start (the one-class machine starts at
+    sum(alpha) = nu*l; SMO preserves y^T alpha, so the start defines the
+    equality constraint's value).
 
     Uses the native C++ solver (stem_kernel_tpu.native) when built; the
     NumPy path below is the reference fallback.
@@ -53,16 +58,21 @@ def smo_solve(
     n = len(y)
     if max_iter is None:
         max_iter = max(10_000_000, 100 * n)
-    from ..native import smo_solve_native
+    if alpha0 is None:
+        from ..native import smo_solve_native
 
-    native = smo_solve_native(K, y, p, C_p, C_n, eps, max_iter)
-    if native is not None:
-        alpha, rho, obj, it = native
-        return SolverResult(alpha=alpha, rho=rho, obj=obj, n_iter=it,
-                            upper_bound_p=C_p, upper_bound_n=C_n)
+        native = smo_solve_native(K, y, p, C_p, C_n, eps, max_iter)
+        if native is not None:
+            alpha, rho, obj, it = native
+            return SolverResult(alpha=alpha, rho=rho, obj=obj, n_iter=it,
+                                upper_bound_p=C_p, upper_bound_n=C_n)
     y = np.asarray(y, dtype=np.float64)
-    alpha = np.zeros(n)
-    G = np.asarray(p, dtype=np.float64).copy()  # gradient = Qa + p; a=0 start
+    if alpha0 is None:
+        alpha = np.zeros(n)
+        G = np.asarray(p, dtype=np.float64).copy()  # gradient = Qa + p
+    else:
+        alpha = np.asarray(alpha0, dtype=np.float64).copy()
+        G = y * (K @ (y * alpha)) + np.asarray(p, dtype=np.float64)
     C = np.where(y > 0, C_p, C_n)
     Kd = np.ascontiguousarray(np.diag(K)).astype(np.float64)
     if max_iter is None:

@@ -132,3 +132,73 @@ def test_multiclass_ovo():
     assert model.nr_class == 3
     correct = sum(svm_predict_values(model, K[i])[0] == labels[i] for i in range(30))
     assert correct >= 27
+
+
+def test_one_class_svm():
+    """One-class: KKT sum constraint, outliers scored below inliers."""
+    from stem_kernel_tpu.svm.variants import one_class_train
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(0, 1, (40, 3))
+    X[-4:] += 6.0  # outliers
+    sq = np.sum(X * X, 1)
+    K = np.exp(-0.5 * (sq[:, None] + sq[None, :] - 2 * X @ X.T))
+    nu = 0.2
+    m = one_class_train(K, nu)
+    # sum alpha == nu * l (the equality constraint's value, preserved by SMO)
+    assert abs(m.sv_coef.sum() - nu * len(X)) < 1e-6
+    dec = np.array([m.decision(K[i]) for i in range(len(X))])
+    # every outlier scores below the median inlier
+    assert dec[-4:].max() < np.median(dec[:-4])
+    # about nu*l points end up outside (standard nu property, loose check)
+    frac_out = float((dec < 0).mean())
+    assert 0.05 <= frac_out <= 0.45
+
+
+def test_epsilon_svr_fits_within_tube():
+    from stem_kernel_tpu.svm.variants import svr_train
+
+    rng = np.random.default_rng(1)
+    X = rng.normal(0, 1, (50, 4))
+    w = np.array([1.0, -2.0, 0.5, 0.0])
+    z = X @ w
+    K = X @ X.T
+    m = svr_train(K, z, C=100.0, p=0.1)
+    pred = np.array([m.decision(K[i]) for i in range(len(X))])
+    # linear-kernel SVR with generous C recovers the targets within ~tube
+    assert np.max(np.abs(pred - z)) < 0.2
+
+
+def test_variant_model_roundtrip(tmp_path):
+    from stem_kernel_tpu.svm.variants import (
+        load_variant_model, one_class_train, save_variant_model,
+    )
+
+    rng = np.random.default_rng(2)
+    X = rng.normal(0, 1, (20, 3))
+    K = X @ X.T + 1.0
+    m = one_class_train(K, 0.3)
+    path = str(tmp_path / "oc.model")
+    save_variant_model(path, m)
+    m2 = load_variant_model(path)
+    assert m2.svm_type == "one_class"
+    np.testing.assert_allclose(m2.sv_coef, m.sv_coef, rtol=1e-12)
+    assert abs(m2.decision(K[0]) - m.decision(K[0])) < 1e-9
+
+
+def test_svm_tools_variant_cli(tmp_path):
+    from stem_kernel_tpu.cli.svm_tools import predict_main, train_main
+    from stem_kernel_tpu.gram.io import write_precomputed
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(0, 1, (30, 3))
+    z = X @ np.array([1.0, 0.5, -1.0])
+    K = X @ X.T
+    mat = str(tmp_path / "km.dat")
+    write_precomputed(mat, [f"{v:.6f}" for v in z], K)
+    model = str(tmp_path / "svr.model")
+    assert train_main(["-s", "3", "-c", "50", mat, model]) == 0
+    out = str(tmp_path / "pred.txt")
+    assert predict_main([mat, model, out]) == 0
+    pred = np.array([float(l) for l in open(out)])
+    assert np.corrcoef(pred, z)[0, 1] > 0.98
