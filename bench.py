@@ -36,7 +36,7 @@ BASELINE_PAIRS_PER_SEC = 3000.0
 
 
 def main() -> None:
-    from stem_kernel_tpu.ops.pallas_la import la_exp_auto
+    from stem_kernel_tpu.ops.pallas_la import la_exp_affine_auto
 
     rng = np.random.default_rng(0)
     w_pair = jnp.asarray(rng.uniform(0, 1, (BATCH, LEN, LEN)).astype(np.float32))
@@ -48,7 +48,9 @@ def main() -> None:
     def chained(a, b, lx, ly):
         def body(_, carry):
             a2, acc = carry
-            v = la_exp_auto(alpha * a2 + b, lx, ly, beta, gap, ext)
+            # the alpha*w_pair + w_unpair affine is fused inside the Pallas
+            # kernel — the combined score tensor never touches HBM
+            v = la_exp_affine_auto(a2, b, lx, ly, alpha, beta, gap, ext)
             # feed a (numerically negligible) function of the output back into
             # the next iteration so XLA cannot elide repeated tiles
             return a2 + v.sum() * 0 + 1e-12, acc + v.sum()

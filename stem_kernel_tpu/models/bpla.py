@@ -366,32 +366,42 @@ class BPLAKernel:
         self.alpha = alpha
         self.beta = beta
 
-    def scores(self, x, y) -> jax.Array:
-        """Score tensor for batches of BPLA data (dicts of padded arrays)."""
+    def score_parts(self, x, y) -> tuple[jax.Array, jax.Array]:
+        """(w_pair, w_unpair) so scores = alpha*w_pair + w_unpair."""
         if self.no_bp:
-            return la_score_matrix(x["profile"], y["profile"], self.score_table)
-        w_pair, w_unpair = bpla_score_parts(
+            zero = jnp.zeros((x["profile"].shape[0], x["profile"].shape[1],
+                              y["profile"].shape[1]), jnp.float32)
+            return zero, la_score_matrix(x["profile"], y["profile"], self.score_table)
+        return bpla_score_parts(
             x["profile"], x["p_left"], x["p_right"], x["p_unpair"],
             y["profile"], y["p_left"], y["p_right"], y["p_unpair"],
             self.score_table,
         )
+
+    def scores(self, x, y) -> jax.Array:
+        """Score tensor for batches of BPLA data (dicts of padded arrays)."""
+        w_pair, w_unpair = self.score_parts(x, y)
         return self.alpha * w_pair + w_unpair
 
     def __call__(self, x, y) -> jax.Array:
-        s = self.scores(x, y)
         if self.sw:
+            s = self.scores(x, y)
             mask = pair_mask(x["length"], s.shape[1], y["length"], s.shape[2])
             return local_alignment_max(s, mask, self.gap, self.ext)
-        from ..ops.pallas_la import la_exp_auto
+        from ..ops.pallas_la import la_exp_affine_auto
 
-        return la_exp_auto(s, x["length"], y["length"], self.beta, self.gap, self.ext)
+        wp, wu = self.score_parts(x, y)
+        return la_exp_affine_auto(wp, wu, x["length"], y["length"],
+                                  self.alpha, self.beta, self.gap, self.ext)
 
     def log_value(self, x, y) -> jax.Array:
         """log K(x, y) — overflow-safe path for long sequences."""
-        s = self.scores(x, y)
         if self.sw:
+            s = self.scores(x, y)
             mask = pair_mask(x["length"], s.shape[1], y["length"], s.shape[2])
             return jnp.log(jnp.maximum(local_alignment_max(s, mask, self.gap, self.ext), 1e-300))
-        from ..ops.pallas_la import la_log_auto
+        from ..ops.pallas_la import la_log_affine_auto
 
-        return la_log_auto(s, x["length"], y["length"], self.beta, self.gap, self.ext)
+        wp, wu = self.score_parts(x, y)
+        return la_log_affine_auto(wp, wu, x["length"], y["length"],
+                                  self.alpha, self.beta, self.gap, self.ext)

@@ -56,8 +56,15 @@ def _shift1(v: jax.Array, lane_iota: jax.Array) -> jax.Array:
     return jnp.where(lane_iota >= 1, rolled, 0.0)
 
 
-def _la_exp_kernel(params_ref, s_ref, lx_ref, ly_ref, t_ref, out_ref,
-                   m_sc, x_sc, y_sc):
+def _la_exp_kernel(params_ref, *refs):
+    """refs: score slab(s) + lx, ly, T, out, scratches.  With two score
+    slabs the emission argument is the affine alpha*s0 + s1 fused in-VMEM
+    (saves materializing the combined score tensor in HBM)."""
+    two = len(refs) == 9
+    if two:
+        s_ref, s2_ref, lx_ref, ly_ref, t_ref, out_ref, m_sc, x_sc, y_sc = refs
+    else:
+        s_ref, lx_ref, ly_ref, t_ref, out_ref, m_sc, x_sc, y_sc = refs
     i = pl.program_id(1)
     beta = params_ref[0, 0]
     bg = params_ref[0, 1]
@@ -75,7 +82,8 @@ def _la_exp_kernel(params_ref, s_ref, lx_ref, ly_ref, t_ref, out_ref,
 
     colmask = lane_iota < ly_ref[:]          # (BB, Ly) via (BB, 1) broadcast
     rowmask = i < lx_ref[:]                  # (BB, 1)
-    e = jnp.where(colmask & rowmask, jnp.exp(beta * s_ref[0]), 0.0)
+    s_row = params_ref[0, 3] * s_ref[0] + s2_ref[0] if two else s_ref[0]
+    e = jnp.where(colmask & rowmask, jnp.exp(beta * s_row), 0.0)
 
     mp, xp, yp = m_sc[:], x_sc[:], y_sc[:]
     m = e * (1.0 + _shift1(mp + xp + yp, lane_iota))
@@ -109,6 +117,8 @@ def la_exp_pallas(
     gap,
     ext,
     *,
+    scores2: jax.Array | None = None,
+    alpha=1.0,
     block_b: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
@@ -124,28 +134,33 @@ def la_exp_pallas(
     beta = jnp.asarray(beta, dt)
     log_be = beta * jnp.asarray(ext, dt)
     params = jnp.stack(
-        [beta, jnp.exp(beta * jnp.asarray(gap, dt)), jnp.exp(log_be)]
-    ).reshape(1, 3)
+        [beta, jnp.exp(beta * jnp.asarray(gap, dt)), jnp.exp(log_be),
+         jnp.asarray(alpha, dt)]
+    ).reshape(1, 4)
 
     bb = min(block_b, _round_up(bsz, SUBLANE))
     bb = _round_up(bb, SUBLANE)
     b_pad = _round_up(bsz, bb)
     ly_pad = _round_up(max_ly, LANE)
 
-    s = jnp.swapaxes(scores.astype(dt), 0, 1)  # (Lx, B, Ly) row-major stream
-    s = jnp.pad(s, ((0, 0), (0, b_pad - bsz), (0, ly_pad - max_ly)))
+    def stream(x):  # (Lx, B, Ly) row-major stream
+        x = jnp.swapaxes(x.astype(dt), 0, 1)
+        return jnp.pad(x, ((0, 0), (0, b_pad - bsz), (0, ly_pad - max_ly)))
+
+    slabs = [stream(scores)] + ([stream(scores2)] if scores2 is not None else [])
     lx_c = jnp.pad(jnp.asarray(lx, jnp.int32), (0, b_pad - bsz)).reshape(-1, 1)
     ly_c = jnp.pad(jnp.asarray(ly, jnp.int32), (0, b_pad - bsz)).reshape(-1, 1)
     t_mat = _closure_matrix(log_be, ly_pad)
 
+    slab_spec = pl.BlockSpec((1, bb, ly_pad), lambda b, i: (i, b, 0),
+                             memory_space=pltpu.VMEM)
     grid = (b_pad // bb, max_lx)
     out = pl.pallas_call(
         _la_exp_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 3), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, bb, ly_pad), lambda b, i: (i, b, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
+            *([slab_spec] * len(slabs)),
             pl.BlockSpec((bb, 1), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bb, 1), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ly_pad, ly_pad), lambda b, i: (0, 0),
@@ -163,11 +178,11 @@ def la_exp_pallas(
             # ~12 VPU ops per cell + the (BB,Ly)@(Ly,Ly) closure matmul per row
             flops=12 * b_pad * max_lx * ly_pad
             + 2 * b_pad * max_lx * ly_pad * ly_pad,
-            bytes_accessed=4 * b_pad * max_lx * ly_pad,
+            bytes_accessed=4 * b_pad * max_lx * ly_pad * (1 + len(slabs)),
             transcendentals=b_pad * max_lx * ly_pad,
         ),
         interpret=interpret,
-    )(params, s, lx_c, ly_c, t_mat)
+    )(params, *slabs, lx_c, ly_c, t_mat)
     return out[:bsz, 0]
 
 
@@ -180,8 +195,7 @@ def _shift1_log(v: jax.Array, lane_iota: jax.Array) -> jax.Array:
     return jnp.where(lane_iota >= 1, rolled, NEG)
 
 
-def _la_log_kernel(params_ref, s_ref, lx_ref, ly_ref, t_ref,
-                   acc_ref, m_sc, x_sc, y_sc):
+def _la_log_kernel(params_ref, *refs):
     """True log-space LA DP; the Y gap closure is a per-row-rescaled matmul.
 
     The M/X updates use elementwise logaddexp on the VPU (exact log space —
@@ -195,6 +209,11 @@ def _la_log_kernel(params_ref, s_ref, lx_ref, ly_ref, t_ref,
     negligible since Y only carries decaying gap mass (be < 1) that re-enters
     M alongside the exactly-kept M/X terms of the same columns.
     """
+    two = len(refs) == 9
+    if two:
+        s_ref, s2_ref, lx_ref, ly_ref, t_ref, acc_ref, m_sc, x_sc, y_sc = refs
+    else:
+        s_ref, lx_ref, ly_ref, t_ref, acc_ref, m_sc, x_sc, y_sc = refs
     i = pl.program_id(1)
     beta = params_ref[0, 0]
     lbg = params_ref[0, 1]
@@ -212,7 +231,8 @@ def _la_log_kernel(params_ref, s_ref, lx_ref, ly_ref, t_ref,
 
     colmask = lane_iota < ly_ref[:]
     rowmask = i < lx_ref[:]
-    le = jnp.where(colmask & rowmask, beta * s_ref[0], NEG)
+    s_row = params_ref[0, 3] * s_ref[0] + s2_ref[0] if two else s_ref[0]
+    le = jnp.where(colmask & rowmask, beta * s_row, NEG)
 
     lm, lx_, ly_ = m_sc[:], x_sc[:], y_sc[:]
     # lse3 of the previous states (elementwise, 3 exps + 1 log)
@@ -249,6 +269,8 @@ def la_log_pallas(
     gap,
     ext,
     *,
+    scores2: jax.Array | None = None,
+    alpha=1.0,
     block_b: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
@@ -262,28 +284,32 @@ def la_log_pallas(
     beta = jnp.asarray(beta, dt)
     log_be = beta * jnp.asarray(ext, dt)
     params = jnp.stack(
-        [beta, beta * jnp.asarray(gap, dt), log_be]
-    ).reshape(1, 3)
+        [beta, beta * jnp.asarray(gap, dt), log_be, jnp.asarray(alpha, dt)]
+    ).reshape(1, 4)
 
     bb = min(block_b, _round_up(bsz, SUBLANE))
     bb = _round_up(bb, SUBLANE)
     b_pad = _round_up(bsz, bb)
     ly_pad = _round_up(max_ly, LANE)
 
-    s = jnp.swapaxes(scores.astype(dt), 0, 1)
-    s = jnp.pad(s, ((0, 0), (0, b_pad - bsz), (0, ly_pad - max_ly)))
+    def stream(x):
+        x = jnp.swapaxes(x.astype(dt), 0, 1)
+        return jnp.pad(x, ((0, 0), (0, b_pad - bsz), (0, ly_pad - max_ly)))
+
+    slabs = [stream(scores)] + ([stream(scores2)] if scores2 is not None else [])
     lx_c = jnp.pad(jnp.asarray(lx, jnp.int32), (0, b_pad - bsz)).reshape(-1, 1)
     ly_c = jnp.pad(jnp.asarray(ly, jnp.int32), (0, b_pad - bsz)).reshape(-1, 1)
     t_mat = _closure_matrix(log_be, ly_pad)
 
+    slab_spec = pl.BlockSpec((1, bb, ly_pad), lambda b, i: (i, b, 0),
+                             memory_space=pltpu.VMEM)
     grid = (b_pad // bb, max_lx)
     acc = pl.pallas_call(
         _la_log_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 3), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, bb, ly_pad), lambda b, i: (i, b, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
+            *([slab_spec] * len(slabs)),
             pl.BlockSpec((bb, 1), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bb, 1), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ly_pad, ly_pad), lambda b, i: (0, 0),
@@ -300,11 +326,11 @@ def la_log_pallas(
         cost_estimate=pl.CostEstimate(
             flops=24 * b_pad * max_lx * ly_pad
             + 2 * b_pad * max_lx * ly_pad * ly_pad,
-            bytes_accessed=4 * b_pad * max_lx * ly_pad,
+            bytes_accessed=4 * b_pad * max_lx * ly_pad * (1 + len(slabs)),
             transcendentals=10 * b_pad * max_lx * ly_pad,
         ),
         interpret=interpret,
-    )(params, s, lx_c, ly_c, t_mat)
+    )(params, *slabs, lx_c, ly_c, t_mat)
     return jnp.logaddexp(0.0, acc[:bsz, 0])
 
 
@@ -314,6 +340,35 @@ def la_log_auto(scores, lx, ly, beta, gap, ext, *, block_b: int = 512):
         return la_log_pallas(scores, lx, ly, beta, gap, ext, block_b=block_b)
     from ..models.bpla import local_alignment_log, pair_mask
 
+    mask = pair_mask(jnp.asarray(lx), scores.shape[1],
+                     jnp.asarray(ly), scores.shape[2])
+    return local_alignment_log(scores, mask, beta, gap, ext)
+
+
+def la_exp_affine_auto(w_pair, w_unpair, lx, ly, alpha, beta, gap, ext, *,
+                       block_b: int = 512):
+    """exp-space LA on scores = alpha*w_pair + w_unpair, fused in-kernel on
+    TPU (the combined score tensor never materializes in HBM)."""
+    if jax.default_backend() in ("tpu", "axon"):
+        return la_exp_pallas(w_pair, lx, ly, beta, gap, ext,
+                             scores2=w_unpair, alpha=alpha, block_b=block_b)
+    from ..models.bpla import local_alignment_exp, pair_mask
+
+    scores = jnp.asarray(alpha, w_pair.dtype) * w_pair + w_unpair
+    mask = pair_mask(jnp.asarray(lx), scores.shape[1],
+                     jnp.asarray(ly), scores.shape[2])
+    return local_alignment_exp(scores, mask, beta, gap, ext)
+
+
+def la_log_affine_auto(w_pair, w_unpair, lx, ly, alpha, beta, gap, ext, *,
+                       block_b: int = 512):
+    """log-space LA on scores = alpha*w_pair + w_unpair (fused on TPU)."""
+    if jax.default_backend() in ("tpu", "axon"):
+        return la_log_pallas(w_pair, lx, ly, beta, gap, ext,
+                             scores2=w_unpair, alpha=alpha, block_b=block_b)
+    from ..models.bpla import local_alignment_log, pair_mask
+
+    scores = jnp.asarray(alpha, w_pair.dtype) * w_pair + w_unpair
     mask = pair_mask(jnp.asarray(lx), scores.shape[1],
                      jnp.asarray(ly), scores.shape[2])
     return local_alignment_log(scores, mask, beta, gap, ext)

@@ -261,3 +261,26 @@ def test_pallas_la_log_long_sequences_finite():
     want = np.asarray(local_alignment_log(jnp.asarray(S), mask, beta, gap, ext))
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_pallas_affine_fusion_interpret():
+    from stem_kernel_tpu.models.bpla import local_alignment_log
+    from stem_kernel_tpu.ops.pallas_la import la_exp_pallas, la_log_pallas
+
+    alpha, beta, gap, ext = 4.5, 0.11, -8.0, -0.75
+    wp = rand_scores(4, 9, 7, lo=0.0, hi=1.0)
+    wu = rand_scores(4, 9, 7, lo=-2.0, hi=2.0)
+    lx = np.array([9, 6, 3, 9], np.int32)
+    ly = np.array([7, 7, 2, 5], np.int32)
+    S = alpha * wp + wu
+    mask = pair_mask(jnp.asarray(lx), 9, jnp.asarray(ly), 7)
+    got = np.asarray(la_exp_pallas(
+        jnp.asarray(wp), jnp.asarray(lx), jnp.asarray(ly), beta, gap, ext,
+        scores2=jnp.asarray(wu), alpha=alpha, block_b=8, interpret=True))
+    want = np.asarray(local_alignment_exp(jnp.asarray(S), mask, beta, gap, ext))
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+    got_l = np.asarray(la_log_pallas(
+        jnp.asarray(wp), jnp.asarray(lx), jnp.asarray(ly), beta, gap, ext,
+        scores2=jnp.asarray(wu), alpha=alpha, block_b=8, interpret=True))
+    want_l = np.asarray(local_alignment_log(jnp.asarray(S), mask, beta, gap, ext))
+    np.testing.assert_allclose(got_l, want_l, rtol=2e-4)
