@@ -68,10 +68,19 @@ def main(argv=None) -> int:
 
     def make_fn(_aux):
         def kernel_fn(x, y):
+            win_lo = win_hi = None
+            if ns.alignment_constraint > 0.0:
+                from ..models.phmm import posterior_windows
+
+                win_lo, win_hi = posterior_windows(
+                    x["codes"], x["length"], y["codes"], y["length"],
+                    ns.alignment_constraint, ns.band_width,
+                )
             return full_stem_kernel(
                 x["codes"], y["codes"], x["length"], y["length"],
                 x["bp"], y["bp"], ns.gap, ns.stack, ns.substitution,
-                band=ns.band_width,
+                band=0 if win_lo is not None else ns.band_width,
+                win_lo=win_lo, win_hi=win_hi,
             )
 
         return kernel_fn

@@ -88,6 +88,8 @@ def full_stem_kernel(
     stack: jax.Array,
     subst: jax.Array,
     band: int = 0,
+    win_lo: jax.Array | None = None,  # (B, n+1) per-position y-window lows
+    win_hi: jax.Array | None = None,  # (B, n+1) y-window highs
 ) -> jax.Array:
     """Batched full stem kernel values (B,).
 
@@ -166,6 +168,21 @@ def full_stem_kernel(
             bm = (k_ok[:, :, :, None] & l_ok[:, :, None, :]).astype(dt)
             inj_k3 = inj_k3 * bm
             inj_g3 = inj_g3 * bm
+        if win_lo is not None:
+            # pair-HMM alignment windows (partial_dp's c_low/c_high,
+            # stem_kernel.cpp:165-246): k in the window of start i, l in
+            # the window of end j = i + d
+            kl = jnp.arange(m + 1)
+            j_at = jnp.minimum(i_idx[None, :] + d, n)  # (1, n+1)
+            lo_i = win_lo[:, :]                        # (B, n+1) at i
+            hi_i = win_hi[:, :]
+            lo_j = jnp.take_along_axis(win_lo, jnp.broadcast_to(j_at, win_lo.shape), 1)
+            hi_j = jnp.take_along_axis(win_hi, jnp.broadcast_to(j_at, win_hi.shape), 1)
+            k_ok = (kl[None, None, :] >= lo_i[:, :, None]) & (kl[None, None, :] <= hi_i[:, :, None])
+            l_ok = (kl[None, None, :] >= lo_j[:, :, None]) & (kl[None, None, :] <= hi_j[:, :, None])
+            wm = (k_ok[:, :, :, None] & l_ok[:, :, None, :]).astype(dt)
+            inj_k3 = inj_k3 * wm
+            inj_g3 = inj_g3 * wm
         # zero out k > l-? and out-of-range blocks
         mask_kl = low_tri[None, None]
         inj_k3 = inj_k3 * mask_kl * valid_i[None, :, None, None]

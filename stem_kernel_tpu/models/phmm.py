@@ -237,3 +237,48 @@ def alignment_constraints(
         c_low = np.maximum(j - band, 0)
         c_high = np.minimum(j + band, ly)
     return c_low, c_high
+
+
+@jax.jit
+def posterior_windows(x_codes, lx, y_codes, ly, bound, band=0):
+    """Per-position y-windows (c_low, c_high), batched and jit-friendly.
+
+    TPU-native form of alignment_constraints: instead of tracing the MAP
+    path host-side (stem_kernel.cpp:13-81), anchor rows are those whose
+    match posterior exceeds ``bound`` anywhere; window bounds interpolate
+    between anchors via exclusive running max/min (the alignment is
+    monotone, so the y-image of x position i lies between the anchors
+    before and after it).  ``band`` widens windows narrower than 2*band,
+    as the reference does.  Returns int32 (B, n+1) arrays over x indices
+    0..n in y coordinates 0..m.
+    """
+    fw, logZ = phmm_forward(x_codes, lx, y_codes, ly)
+    bk = phmm_backward(x_codes, lx, y_codes, ly)
+    pm = jnp.exp(fw[M] + bk[M] - logZ[:, None, None])  # (B, n+1, m+1)
+    bsz, np1, mp1 = pm.shape
+    m = mp1 - 1
+    jj = jnp.arange(mp1)
+    # mask to true lengths
+    valid = (jnp.arange(np1)[None, :, None] <= lx[:, None, None]) & (
+        jj[None, None, :] <= ly[:, None, None]
+    )
+    hit = (pm >= bound) & valid
+    row_any = hit.any(-1)
+    anchor_hi = jnp.where(row_any, jnp.max(jnp.where(hit, jj[None, None], 0), -1), 0)
+    anchor_lo = jnp.where(
+        row_any, jnp.min(jnp.where(hit, jj[None, None], m), -1), m
+    )
+    # exclusive running max of anchor highs (below i) / min of anchor lows (above i)
+    c_low = jnp.concatenate(
+        [jnp.zeros((bsz, 1), anchor_hi.dtype),
+         jax.lax.cummax(anchor_hi, axis=1)[:, :-1]], axis=1)
+    c_high = jnp.concatenate(
+        [jax.lax.cummin(anchor_lo[:, ::-1], axis=1)[:, ::-1][:, 1:],
+         jnp.full((bsz, 1), m, anchor_lo.dtype)], axis=1)
+    c_high = jnp.minimum(jnp.maximum(c_high, c_low), ly[:, None])
+    band = jnp.asarray(band)  # band=0 makes the widening a no-op
+    narrow = (c_high - c_low) < 2 * band
+    mid = (c_high + c_low) // 2
+    c_low = jnp.where(narrow, jnp.maximum(mid - band, 0), c_low)
+    c_high = jnp.where(narrow, jnp.minimum(mid + band, ly[:, None]), c_high)
+    return c_low.astype(jnp.int32), c_high.astype(jnp.int32)

@@ -113,3 +113,55 @@ def test_band_restricts_and_wide_band_matches_full():
     np.testing.assert_allclose(wide, full, rtol=1e-5)
     narrow = float(np.asarray(full_stem_kernel(*args, band=1))[0])
     assert narrow <= full + 1e-6
+
+
+def test_posterior_windows_shapes_and_semantics():
+    from stem_kernel_tpu.models.phmm import posterior_windows
+    from stem_kernel_tpu.io.alphabet import encode
+
+    x = encode("ggcgaaacgcc")
+    y = encode("ggcgauaacgcc")
+    n, m = len(x), len(y)
+    xc = np.zeros((2, n), np.int32); xc[:] = x
+    yc = np.zeros((2, m), np.int32); yc[:] = y
+    lx = np.full(2, n, np.int32); ly = np.full(2, m, np.int32)
+    lo, hi = posterior_windows(jnp.asarray(xc), jnp.asarray(lx),
+                               jnp.asarray(yc), jnp.asarray(ly), 0.9, 2)
+    lo, hi = np.asarray(lo), np.asarray(hi)
+    assert lo.shape == (2, n + 1) and hi.shape == (2, n + 1)
+    assert (lo <= hi).all() and lo.min() >= 0 and hi.max() <= m
+    # similar sequences: windows are informative (narrower than full range)
+    assert (hi - lo).mean() < m
+    # an impossible bound -> no anchors -> full windows
+    lo2, hi2 = posterior_windows(jnp.asarray(xc), jnp.asarray(lx),
+                                 jnp.asarray(yc), jnp.asarray(ly), 2.0, 0)
+    assert (np.asarray(lo2) == 0).all() and (np.asarray(hi2) == m).all()
+
+
+def test_full_stem_with_full_windows_matches_unbanded():
+    from stem_kernel_tpu.models.full_stem import full_stem_kernel
+    from stem_kernel_tpu.io.alphabet import encode
+
+    rng = np.random.default_rng(0)
+    x = encode("".join(rng.choice(list("acgu"), 12)))
+    y = encode("".join(rng.choice(list("acgu"), 10)))
+    n, m = len(x), len(y)
+    from stem_kernel_tpu.models.full_stem import pair_weights
+    wx = pair_weights(x, n)
+    wy = pair_weights(y, m)
+    args = (jnp.asarray(x[None]), jnp.asarray(y[None]),
+            jnp.asarray([n]), jnp.asarray([m]),
+            jnp.asarray(wx[None]), jnp.asarray(wy[None]),
+            0.6, 1.3, 0.8)
+    v_free = np.asarray(full_stem_kernel(*args))
+    win_lo = jnp.zeros((1, n + 1), jnp.int32)
+    win_hi = jnp.full((1, n + 1), m, jnp.int32)
+    v_win = np.asarray(full_stem_kernel(*args, win_lo=win_lo, win_hi=win_hi))
+    np.testing.assert_allclose(v_win, v_free, rtol=1e-6)
+    # a restrictive window must not increase the kernel value
+    v_tight = np.asarray(full_stem_kernel(
+        *args,
+        win_lo=jnp.full((1, n + 1), 2, jnp.int32),
+        win_hi=jnp.full((1, n + 1), 6, jnp.int32),
+    ))
+    assert (v_tight <= v_free + 1e-6).all()
