@@ -139,19 +139,87 @@ def bpp_for_alignments(
     return out
 
 
-def alifold_bpp(aln: Alignment, opts: BPMatrixOptions | None = None) -> np.ndarray:
-    """Consensus fold over alignment columns (ALIFOLD stand-in).
+def alifold_covariance(
+    aln: Alignment, *, cov_weight: float = 1.6, noncanon_penalty: float = 1.6
+) -> tuple[np.ndarray, np.ndarray]:
+    """(consensus_codes, w_extra) for a covariance-scored consensus fold.
 
-    Folds the column consensus: each row is mapped to alignment coordinates
-    (gaps as A's that cannot pair are approximated by the per-row averaging
-    path; here we fold the majority-rule consensus sequence).  A full
-    covariance-scored alifold is future work; the reference treats ALIFOLD as
-    one of several interchangeable BPP producers.
+    RNAalifold-style column-pair scoring (Hofacker 2002, the engine behind
+    the reference's ALIFOLD method via alipf_fold,
+    /root/reference/common/bpmatrix.cpp:355-397), expressed in log-weight
+    space as a per-(i, j) additive term for the partition function:
+
+      cov(i, j)  = sum over unordered row pairs of the Hamming distance
+                   between their (canonical) base pairs, / C(R, 2)
+                   — compensatory double mutations score 2, single
+                   consistent mutations 1;
+      pen(i, j)  = fraction of rows whose (i, j) is neither canonical nor
+                   fully gapped (0.25 for half-gapped rows, 1.0 otherwise);
+      w_extra    = cov_weight * cov - noncanon_penalty * pen, and NEG where
+                   no row can pair (i, j).
+
+    Computed with O(36 n^2) pair-type count contractions, not O(R^2 n^2)
+    row-pair loops.
     """
-    opts = opts or BPMatrixOptions()
+    from .params import PAIR_TYPE, N_PAIR
+
+    L = aln.length
+    R = aln.n_rows
+    code = np.full((R, L), 4, np.int8)  # 4 = gap/other
+    lut = {"a": 0, "c": 1, "g": 2, "u": 3, "t": 3}
+    for r, row in enumerate(aln.rows):
+        for i, ch in enumerate(row.lower()):
+            code[r, i] = lut.get(ch, 4)
+
+    # per-row pair types over the (i, j) grid: -1 noncanon, -2 any gap
+    pt_tab = np.full((5, 5), -1, np.int8)
+    pt_tab[:4, :4] = PAIR_TYPE
+    pt_tab[4, :] = -2
+    pt_tab[:, 4] = -2
+    pt = pt_tab[code[:, :, None], code[:, None, :]]  # (R, L, L)
+
+    # counts per canonical pair type
+    cnt = np.zeros((N_PAIR, L, L), np.float32)
+    for t in range(N_PAIR):
+        cnt[t] = (pt == t).sum(axis=0)
+    n_canon = cnt.sum(axis=0)
+    n_gap = (pt == -2).sum(axis=0).astype(np.float32)
+    n_bad = R - n_canon - n_gap
+
+    # Hamming distances between pair types (CG GC GU UG AU UA as 2-mers)
+    pair_strs = ["cg", "gc", "gu", "ug", "au", "ua"]
+    D = np.array([[sum(a != b for a, b in zip(p, q)) for q in pair_strs]
+                  for p in pair_strs], np.float32)
+    n_rowpairs = max(R * (R - 1) / 2.0, 1.0)
+    cov = np.einsum("tij,uij,tu->ij", cnt, cnt, D) / 2.0 / n_rowpairs
+
+    pen = (n_bad + 0.25 * n_gap * (n_gap < R)) / max(R, 1)
+    w_extra = cov_weight * cov - noncanon_penalty * pen
+    w_extra = np.where(n_canon > 0, w_extra, -1e30).astype(np.float32)
+
     from ..io.profile import profile_from_alignment
 
     prof = profile_from_alignment(aln)
-    consensus_codes = np.argmax(prof[:, :4], axis=1).astype(np.uint8)
-    seq = "".join("acgu"[c] for c in consensus_codes)
-    return fold_sequences([seq], opts)[0]
+    consensus = np.argmax(prof[:, :4], axis=1).astype(np.uint8)
+    return consensus, w_extra
+
+
+def alifold_bpp(aln: Alignment, opts: BPMatrixOptions | None = None) -> np.ndarray:
+    """Covariance-scored consensus fold over alignment columns (ALIFOLD).
+
+    The consensus sequence is folded with per-(i, j) log-weight adjustments
+    from :func:`alifold_covariance` — compensatory mutations reward a pair,
+    inconsistent rows penalize it, unpairable columns are excluded — the
+    RNAalifold recipe the reference reaches through alipf_fold.  One
+    approximation vs alipf_fold: column pairs where the majority consensus
+    itself is non-canonical are excluded even if a minority of rows pairs
+    (the engine's pair gate is evaluated on the consensus sequence)."""
+    opts = opts or BPMatrixOptions()
+    from .mccaskill_scaled import mccaskill_bpp_batch_scaled
+
+    consensus, w_extra = alifold_covariance(aln)
+    bpp, _ = mccaskill_bpp_batch_scaled(
+        consensus[None, :], np.array([aln.length]),
+        opts.resolved_params(), w_extra=w_extra[None],
+    )
+    return np.asarray(bpp[0], np.float64)

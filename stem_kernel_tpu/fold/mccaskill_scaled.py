@@ -447,7 +447,8 @@ def _bpp_one(codes, length, params_key, w_extra):
 
 @partial(jax.jit, static_argnums=(2,))
 def _bpp_vmapped(codes, lengths, params_key, w_extra):
-    return jax.vmap(_bpp_one, in_axes=(0, 0, None, None))(
+    wax = None if w_extra is None else 0
+    return jax.vmap(_bpp_one, in_axes=(0, 0, None, wax))(
         codes, lengths, params_key, w_extra
     )
 
@@ -465,6 +466,8 @@ def mccaskill_bpp_batch_scaled(
     codes_batch: np.ndarray,
     lengths: np.ndarray,
     params: EnergyParams | None = None,
+    *,
+    w_extra: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Batched (bpp, logZ): one vmapped device program for the whole batch.
 
@@ -481,5 +484,11 @@ def mccaskill_bpp_batch_scaled(
     lens_np = np.pad(np.asarray(lengths), (0, b_pad - b))
     codes = jnp.asarray(codes_np, jnp.int32)
     lens = jnp.asarray(lens_np, jnp.int32)
-    bpp, logZ = _bpp_vmapped(codes, lens, key, None)
+    we = None
+    if w_extra is not None:
+        we = jnp.asarray(
+            np.pad(np.asarray(w_extra, np.float32),
+                   ((0, b_pad - b), (0, 0), (0, 0)))
+        )
+    bpp, logZ = _bpp_vmapped(codes, lens, key, we)
     return np.asarray(bpp[:b]), np.asarray(logZ[:b])

@@ -213,3 +213,43 @@ def test_scaled_engine_long_sequence_stays_finite():
     assert bpps.max() <= 1.0 + 1e-6
     # the designed helix should be confidently paired
     assert bpps[0, 0, len(seq) - 1] > 0.5
+
+
+def test_alifold_covariance_scoring():
+    from stem_kernel_tpu.fold.bpmatrix import alifold_bpp, alifold_covariance
+    from stem_kernel_tpu.io.profile import Alignment
+
+    # a hairpin family with a compensatory mutation at the outer pair:
+    # rows 1-2 have G:C, row 3 has the double mutation A:U — covariance
+    # evidence that columns (0, 11) pair.
+    aln = Alignment(rows=[
+        "ggcgaaaacgcc",
+        "ggcgaaaacgcc",
+        "agcgaaaacgcu",
+    ])
+    cons, w_extra = alifold_covariance(aln)
+    L = aln.length
+    assert w_extra.shape == (L, L)
+    # compensatory pair gets a positive covariance bonus
+    assert w_extra[0, 11] > 0
+    # an unpairable column pair is hard-excluded
+    assert w_extra[4, 6] < -1e29  # a:a
+    bpp = alifold_bpp(aln)
+    assert bpp.shape == (L, L)
+    assert np.isfinite(bpp).all() and bpp.max() <= 1 + 1e-6
+    # the covariance-supported helix shows up in the consensus BPPs
+    assert bpp[1, 10] > 0.5
+
+
+def test_alifold_consistent_family_close_to_single_fold():
+    from stem_kernel_tpu.fold.bpmatrix import alifold_bpp, bpp_for_alignment, BPMatrixOptions
+    from stem_kernel_tpu.io.profile import Alignment
+
+    seq = "ggcgcaaaaagcgcc"
+    aln = Alignment(rows=[seq, seq, seq])
+    b_ali = alifold_bpp(aln)
+    b_avg = bpp_for_alignment(aln, BPMatrixOptions())
+    # identical rows: no covariance signal, same sequence — the two BPP
+    # producers agree on where the helix is
+    i, j = np.unravel_index(np.argmax(b_avg), b_avg.shape)
+    assert b_ali[i, j] > 0.3
