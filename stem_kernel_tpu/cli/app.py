@@ -47,6 +47,7 @@ class AppOptions:
     predict_only: bool = False  # --no-matrix
     model_files: list[str] = field(default_factory=list)
     predict_outputs: list[str] = field(default_factory=list)
+    trace_dir: str = ""
 
 
 def add_common_options(p: argparse.ArgumentParser) -> None:
@@ -62,6 +63,9 @@ def add_common_options(p: argparse.ArgumentParser) -> None:
                    help="output file name of prediction results")
     p.add_argument("-t", "--threads", type=int, default=1,
                    help="accepted for compatibility (parallelism is device-mesh based)")
+    p.add_argument("--trace-dir", default="",
+                   help="write a jax.profiler trace of the run to this "
+                        "directory (view with TensorBoard / xprof)")
     # positional grammar "output [label file]... [--test ...]" is collected
     # from unrecognized args (labels like -1 confuse argparse), mirroring the
     # reference's collect_unrecognized pattern (stem_kernel_lite/main.cpp:152-163)
@@ -85,6 +89,7 @@ def parse_positional(ns: argparse.Namespace) -> AppOptions:
         predict_only=ns.no_matrix,
         model_files=list(ns.model),
         predict_outputs=list(ns.predict),
+        trace_dir=getattr(ns, "trace_dir", ""),
     )
     if "--test" in extra:
         opts.predict_mode = True
@@ -153,6 +158,24 @@ def run_app(
     space (overflow-safe for long sequences).
     """
     enable_compile_cache()
+    if opts.trace_dir:
+        import contextlib
+
+        import jax
+
+        ctx = jax.profiler.trace(opts.trace_dir)
+    else:
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+    with ctx:
+        return _run_app_inner(opts, featurize, make_kernel_fn,
+                              batch_size=batch_size, mesh=mesh,
+                              log_kernel=log_kernel)
+
+
+def _run_app_inner(opts, featurize, make_kernel_fn, *, batch_size, mesh,
+                   log_kernel):
     t_start = time.time()
     train_alns, train_labels = load_labeled(opts.labels, opts.files)
     if not opts.predict_mode:
