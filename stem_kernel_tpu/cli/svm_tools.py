@@ -24,9 +24,11 @@ from ..svm.train import (
 def train_main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="skt-svm-train")
     p.add_argument("-s", type=int, default=0, dest="svm_type",
-                   help="svm type: 0 C-SVC, 2 one-class, 3 epsilon-SVR")
+                   help="svm type: 0 C-SVC, 1 nu-SVC, 2 one-class, "
+                        "3 epsilon-SVR, 4 nu-SVR")
     p.add_argument("-c", type=float, default=1.0, dest="C", help="cost parameter C")
-    p.add_argument("-n", type=float, default=0.5, dest="nu", help="nu (one-class)")
+    p.add_argument("-n", type=float, default=0.5, dest="nu",
+                   help="nu (nu-SVC, one-class, nu-SVR)")
     p.add_argument("-p", type=float, default=0.1, dest="tube",
                    help="epsilon in the SVR loss function")
     p.add_argument("-e", type=float, default=1e-3, dest="eps", help="stopping tolerance")
@@ -39,25 +41,33 @@ def train_main(argv=None) -> int:
     ns = p.parse_args(argv)
     labels, K = read_precomputed(ns.matrix)
     out = ns.model or (ns.matrix + ".model")
-    if ns.svm_type in (1, 4):
-        raise SystemExit("nu-SVC/nu-SVR are not supported; use -s 0/2/3")
-    if ns.svm_type in (2, 3):
-        from ..svm.variants import one_class_train, save_variant_model, svr_train
+    if ns.svm_type in (2, 3, 4):
+        from ..svm.variants import (
+            nu_svr_train,
+            one_class_train,
+            save_variant_model,
+            svr_train,
+        )
 
         if ns.svm_type == 2:
             vmodel = one_class_train(K, ns.nu, eps=ns.eps)
         else:
             z = np.array([float(l) for l in labels])
-            vmodel = svr_train(K, z, C=ns.C, p=ns.tube, eps=ns.eps)
+            if ns.svm_type == 3:
+                vmodel = svr_train(K, z, C=ns.C, p=ns.tube, eps=ns.eps)
+            else:
+                vmodel = nu_svr_train(K, z, C=ns.C, nu=ns.nu, eps=ns.eps)
         save_variant_model(out, vmodel)
         print(f"model saved to {out} ({len(vmodel.sv_index)} SVs)")
         return 0
+    stype = "nu_svc" if ns.svm_type == 1 else "c_svc"
     if ns.folds > 1:
         preds = svm_cross_validation(K, labels, ns.folds, C=ns.C, eps=ns.eps)
         acc = float(np.mean([a == b for a, b in zip(preds, labels)]))
         print(f"Cross Validation Accuracy = {acc * 100:g}%")
         return 0
-    model = svm_train(K, labels, C=ns.C, eps=ns.eps, probability=bool(ns.probability))
+    model = svm_train(K, labels, C=ns.C, eps=ns.eps,
+                      probability=bool(ns.probability), svm_type=stype, nu=ns.nu)
     save_model(out, model)
     print(f"model saved to {out} ({model.total_sv} SVs)")
     return 0
@@ -72,7 +82,7 @@ def predict_main(argv=None) -> int:
     ns = p.parse_args(argv)
     labels, rows = read_precomputed(ns.test)
     first = open(ns.model).readline().split()
-    if len(first) == 2 and first[1] in ("one_class", "epsilon_svr"):
+    if len(first) == 2 and first[1] in ("one_class", "epsilon_svr", "nu_svr"):
         from ..svm.variants import load_variant_model
 
         vmodel = load_variant_model(ns.model)

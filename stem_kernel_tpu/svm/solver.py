@@ -165,3 +165,118 @@ def smo_solve(
     obj = float(0.5 * np.dot(alpha, G + p))
     return SolverResult(alpha=alpha, rho=float(rho), obj=obj, n_iter=it,
                         upper_bound_p=C_p, upper_bound_n=C_n)
+
+
+def smo_solve_nu(
+    K: np.ndarray,
+    y: np.ndarray,
+    p: np.ndarray,
+    C_p: float,
+    C_n: float,
+    alpha0: np.ndarray,
+    *,
+    eps: float = 1e-3,
+    max_iter: int | None = None,
+) -> tuple[SolverResult, float]:
+    """SMO for the nu-formulation dual (libsvm Solver_NU, solver.cpp:559-718).
+
+    The nu dual carries TWO equality constraints (y^T a = const and
+    e^T a = const, both fixed by the feasible start ``alpha0``), so working
+    pairs must share a class: selection runs the maximal-violating-pair /
+    second-order criterion independently inside y=+1 and y=-1 and takes the
+    better of the two (select_working_set, solver.cpp:580-658).
+
+    Returns (result, r) where result.rho = (r1 - r2)/2 and r = (r1 + r2)/2
+    (calculate_rho, solver.cpp:676-718); for nu-SVC 1/r is the equivalent
+    C-SVC cost, for nu-SVR -r is the attained epsilon.
+    """
+    n = len(y)
+    y = np.asarray(y, dtype=np.float64)
+    C = np.where(y > 0, C_p, C_n)
+    alpha = np.asarray(alpha0, dtype=np.float64).copy()
+    G = y * (K @ (y * alpha)) + np.asarray(p, dtype=np.float64)
+    Kd = np.ascontiguousarray(np.diag(K)).astype(np.float64)
+    if max_iter is None:
+        max_iter = max(10_000_000, 100 * n)
+    pos = y > 0
+
+    it = 0
+    while it < max_iter:
+        upp = pos & (alpha < C)  # up candidates in class +1: -G maximal
+        upn = ~pos & (alpha > 0)  # up candidates in class -1: +G maximal
+        lowp = pos & (alpha > 0)
+        lown = ~pos & (alpha < C)
+        Gmaxp = np.max(-G[upp]) if upp.any() else -np.inf
+        Gmaxn = np.max(G[upn]) if upn.any() else -np.inf
+        Gmaxp2 = np.max(G[lowp]) if lowp.any() else -np.inf
+        Gmaxn2 = np.max(-G[lown]) if lown.any() else -np.inf
+        if max(Gmaxp + Gmaxp2, Gmaxn + Gmaxn2) < eps:
+            break
+
+        best_obj, bi, bj = np.inf, -1, -1
+        if np.isfinite(Gmaxp) and lowp.any():
+            ip = int(np.flatnonzero(upp)[np.argmax(-G[upp])])
+            b = Gmaxp + G
+            a = Kd[ip] + Kd - 2.0 * K[ip]
+            a = np.where(a <= 0, TAU, a)
+            od = np.where(lowp & (b > 0), -(b * b) / a, np.inf)
+            j = int(np.argmin(od))
+            if od[j] < best_obj:
+                best_obj, bi, bj = od[j], ip, j
+        if np.isfinite(Gmaxn) and lown.any():
+            in_ = int(np.flatnonzero(upn)[np.argmax(G[upn])])
+            b = Gmaxn - G
+            a = Kd[in_] + Kd - 2.0 * K[in_]
+            a = np.where(a <= 0, TAU, a)
+            od = np.where(lown & (b > 0), -(b * b) / a, np.inf)
+            j = int(np.argmin(od))
+            if od[j] < best_obj:
+                best_obj, bi, bj = od[j], in_, j
+        if bi < 0:
+            break
+        i, j = bi, bj
+
+        # same-class 2-variable update (y_i == y_j branch of the standard step)
+        quad = Kd[i] + Kd[j] - 2.0 * K[i, j]
+        if quad <= 0:
+            quad = TAU
+        delta = (G[i] - G[j]) / quad
+        s = alpha[i] + alpha[j]
+        ai, aj = alpha[i] - delta, alpha[j] + delta
+        if s > C[i]:
+            if ai > C[i]:
+                ai, aj = C[i], s - C[i]
+        else:
+            if aj < 0:
+                aj, ai = 0.0, s
+        if s > C[j]:
+            if aj > C[j]:
+                aj, ai = C[j], s - C[j]
+        else:
+            if ai < 0:
+                ai, aj = 0.0, s
+
+        Qi = y[i] * y * K[i]
+        Qj = y[j] * y * K[j]
+        G += Qi * (ai - alpha[i]) + Qj * (aj - alpha[j])
+        alpha[i], alpha[j] = ai, aj
+        it += 1
+
+    def _class_r(mask: np.ndarray) -> float:
+        free = mask & (alpha > 0) & (alpha < C)
+        if free.any():
+            return float(np.mean(G[free]))
+        at_c = mask & (alpha >= C)
+        at_0 = mask & (alpha <= 0)
+        lb = np.max(G[at_c]) if at_c.any() else -np.inf
+        ub = np.min(G[at_0]) if at_0.any() else np.inf
+        return float((ub + lb) / 2.0)
+
+    r1 = _class_r(pos)
+    r2 = _class_r(~pos)
+    rho = (r1 - r2) / 2.0
+    r = (r1 + r2) / 2.0
+    obj = float(0.5 * np.dot(alpha, G + p))
+    res = SolverResult(alpha=alpha, rho=rho, obj=obj, n_iter=it,
+                       upper_bound_p=C_p, upper_bound_n=C_n)
+    return res, r

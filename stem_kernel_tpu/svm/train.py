@@ -131,8 +131,11 @@ def svm_train(
     eps: float = 1e-3,
     probability: bool = False,
     weight: dict[str, float] | None = None,
+    svm_type: str = "c_svc",
+    nu: float = 0.5,
 ) -> SVCModel:
-    """Train one-vs-one C-SVC on a precomputed Gram matrix."""
+    """Train one-vs-one C-SVC (or nu-SVC with ``svm_type='nu_svc'``) on a
+    precomputed Gram matrix (svm.cpp:671-906; nu path solve_nu_svc)."""
     uniq, y_idx, groups = _group_classes(labels)
     k = len(uniq)
     n = len(labels)
@@ -147,7 +150,12 @@ def svm_train(
         Ks = K[np.ix_(sub, sub)]
         C_p = C * weight.get(uniq[ci], 1.0)
         C_n = C * weight.get(uniq[cj], 1.0)
-        coef, rho = _train_binary(Ks, y_pm, C_p, C_n, eps)
+        if svm_type == "nu_svc":
+            from .variants import solve_nu_svc
+
+            coef, rho, _c_equiv = solve_nu_svc(Ks, y_pm, nu, eps=eps)
+        else:
+            coef, rho = _train_binary(Ks, y_pm, C_p, C_n, eps)
         coef_all[ci, cj, sub] = coef
         rho_list.append(rho)
         if probability:

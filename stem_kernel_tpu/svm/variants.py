@@ -1,10 +1,11 @@
-"""One-class SVM and epsilon-SVR on precomputed kernels.
+"""One-class SVM, epsilon-SVR, nu-SVC and nu-SVR on precomputed kernels.
 
-The reference's bundled LIBSVM carries ONE_CLASS_Q and SVR_Q alongside SVC_Q
-(/root/reference/libsvm/qmatrix.h:64-110, svm.cpp solve_one_class /
-solve_epsilon_svr); its own workflows only ever train C-SVC, but the library
-surface exists, so this framework provides the same two extra machine types
-through the same generic SMO solver:
+The reference's bundled LIBSVM carries all five machine types
+(/root/reference/libsvm/svm.h:21 `enum { C_SVC, NU_SVC, ONE_CLASS,
+EPSILON_SVR, NU_SVR }`, qmatrix.h:64-110, svm.cpp solve_one_class /
+solve_epsilon_svr / solve_nu_svc / solve_nu_svr); its own workflows only ever
+train C-SVC, but the library surface exists, so this framework provides the
+same extra machine types through the same generic SMO solvers:
 
 - one-class:  min 0.5 a^T K a   s.t. 0 <= a_i <= 1, sum a = nu*l
   (warm-started at the LIBSVM initialization a_i = 1 for i < nu*l).
@@ -20,7 +21,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .solver import smo_solve
+from .solver import smo_solve, smo_solve_nu
 
 
 @dataclass
@@ -70,6 +71,62 @@ def svr_train(
     sv = np.flatnonzero(np.abs(beta) > 1e-12)
     return KernelRegressorModel(
         svm_type="epsilon_svr", sv_index=sv, sv_coef=beta[sv], rho=res.rho
+    )
+
+
+def solve_nu_svc(
+    K: np.ndarray, y_pm: np.ndarray, nu: float, *, eps: float = 1e-3
+) -> tuple[np.ndarray, float, float]:
+    """Binary nu-SVC (svm.cpp solve_nu_svc).
+
+    Returns (signed coefficients y_i*alpha_i scaled by 1/r, rho, 1/r) where
+    1/r is the equivalent C-SVC cost: the scaled solution reproduces the
+    decision values of C-SVC trained at C = 1/r.
+    """
+    y_pm = np.asarray(y_pm, np.float64)
+    l = len(y_pm)
+    n_pos = int(np.sum(y_pm > 0))
+    n_neg = l - n_pos
+    if not 0 < nu <= 1:
+        raise ValueError("nu must be in (0, 1]")
+    if nu * l / 2 > min(n_pos, n_neg):
+        raise ValueError("specified nu is infeasible")
+    # feasible start: each class absorbs nu*l/2 total alpha, capped at 1/ex.
+    alpha0 = np.zeros(l)
+    for mask in (y_pm > 0, y_pm < 0):
+        remain = nu * l / 2.0
+        for i in np.flatnonzero(mask):
+            alpha0[i] = min(1.0, remain)
+            remain -= alpha0[i]
+    res, r = smo_solve_nu(K, y_pm, np.zeros(l), 1.0, 1.0, alpha0, eps=eps)
+    if r <= 0:
+        raise ValueError("nu-SVC degenerate solution (r <= 0)")
+    coef = res.alpha * y_pm / r
+    return coef, res.rho / r, 1.0 / r
+
+
+def nu_svr_train(
+    K: np.ndarray, z: np.ndarray, *, C: float = 1.0, nu: float = 0.5, eps: float = 1e-3
+) -> KernelRegressorModel:
+    """nu-SVR (svm.cpp solve_nu_svr): the tube width epsilon is a solver
+    output (-r), traded against the fraction nu of tube violations."""
+    l = K.shape[0]
+    z = np.asarray(z, np.float64)
+    if not 0 < nu <= 1:
+        raise ValueError("nu must be in (0, 1]")
+    K2 = np.tile(K, (2, 2))
+    y2 = np.concatenate([np.ones(l), -np.ones(l)])
+    p2 = np.concatenate([-z, z])
+    alpha0 = np.zeros(2 * l)
+    remain = C * nu * l / 2.0
+    for i in range(l):
+        alpha0[i] = alpha0[i + l] = min(C, remain)
+        remain -= alpha0[i]
+    res, _r = smo_solve_nu(K2, y2, p2, C, C, alpha0, eps=eps)
+    beta = res.alpha[:l] - res.alpha[l:]
+    sv = np.flatnonzero(np.abs(beta) > 1e-12)
+    return KernelRegressorModel(
+        svm_type="nu_svr", sv_index=sv, sv_coef=beta[sv], rho=res.rho
     )
 
 

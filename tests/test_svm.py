@@ -202,3 +202,92 @@ def test_svm_tools_variant_cli(tmp_path):
     assert predict_main([mat, model, out]) == 0
     pred = np.array([float(l) for l in open(out)])
     assert np.corrcoef(pred, z)[0, 1] > 0.98
+
+
+def test_nu_svc_matches_equivalent_c_svc():
+    """LIBSVM property (svm.cpp solve_nu_svc): the scaled nu-SVC solution is
+    the C-SVC solution at C = 1/r, so decision values must agree."""
+    from stem_kernel_tpu.svm.variants import solve_nu_svc
+
+    K, y, _ = random_problem(n=30, seed=11)
+    coef, rho, c_equiv = solve_nu_svc(K, y, nu=0.4, eps=1e-8)
+    f_nu = K @ coef - rho
+    res = smo_solve(K, y, -np.ones(len(y)), c_equiv, c_equiv, eps=1e-8)
+    f_c = K @ (res.alpha * y) - res.rho
+    np.testing.assert_allclose(f_nu, f_c, atol=2e-3)
+
+
+def test_nu_svc_nu_property():
+    """nu upper-bounds the margin-error fraction and lower-bounds the SV
+    fraction (Schoelkopf et al. 2000)."""
+    from stem_kernel_tpu.svm.variants import solve_nu_svc
+
+    K, y, _ = random_problem(n=40, seed=5)
+    nu = 0.3
+    coef, rho, c_equiv = solve_nu_svc(K, y, nu=nu, eps=1e-8)
+    alpha = np.abs(coef)  # scaled alphas, bound = 1/r = c_equiv
+    n = len(y)
+    sv_frac = np.sum(alpha > 1e-8 * c_equiv) / n
+    bound_frac = np.sum(alpha > c_equiv * (1 - 1e-6)) / n
+    assert bound_frac <= nu + 1e-6
+    assert sv_frac >= nu - 1e-6
+
+
+def test_nu_svc_through_svm_train():
+    K, y, _ = random_problem(n=24, seed=9)
+    labels = ["+1" if v > 0 else "-1" for v in y]
+    model = svm_train(K, labels, svm_type="nu_svc", nu=0.2, eps=1e-6)
+    preds = [svm_predict_values(model, K[t])[0] for t in range(len(y))]
+    acc = np.mean([p == l for p, l in zip(preds, labels)])
+    assert acc > 0.9
+
+
+def test_nu_svr_matches_epsilon_svr_at_attained_tube():
+    """nu-SVR with derived epsilon = -r equals epsilon-SVR trained at that
+    tube width (svm.cpp solve_nu_svr comment)."""
+    from stem_kernel_tpu.svm.solver import smo_solve_nu
+    from stem_kernel_tpu.svm.variants import nu_svr_train, svr_train
+
+    r = np.random.default_rng(2)
+    X = r.normal(size=(20, 2))
+    z = X[:, 0] * 0.8 - X[:, 1] * 0.3 + 0.05 * r.normal(size=20)
+    K = X @ X.T + 1e-6 * np.eye(20)
+
+    # recover the attained epsilon from the raw nu solver
+    l = len(z)
+    C, nu = 2.0, 0.5
+    K2 = np.tile(K, (2, 2))
+    y2 = np.concatenate([np.ones(l), -np.ones(l)])
+    p2 = np.concatenate([-z, z])
+    alpha0 = np.zeros(2 * l)
+    remain = C * nu * l / 2.0
+    for i in range(l):
+        alpha0[i] = alpha0[i + l] = min(C, remain)
+        remain -= alpha0[i]
+    _res, r_out = smo_solve_nu(K2, y2, p2, C, C, alpha0, eps=1e-8)
+    eps_attained = -r_out
+    assert eps_attained >= 0
+
+    m_nu = nu_svr_train(K, z, C=C, nu=nu, eps=1e-8)
+    m_eps = svr_train(K, z, C=C, p=eps_attained, eps=1e-8)
+    f_nu = np.array([m_nu.decision(K[t]) for t in range(l)])
+    f_eps = np.array([m_eps.decision(K[t]) for t in range(l)])
+    np.testing.assert_allclose(f_nu, f_eps, atol=5e-3)
+
+
+def test_nu_svr_cli(tmp_path):
+    from stem_kernel_tpu.cli.svm_tools import predict_main, train_main
+    from stem_kernel_tpu.gram.io import write_precomputed
+
+    r = np.random.default_rng(4)
+    X = r.normal(size=(16, 2))
+    z = X[:, 0] - 0.5 * X[:, 1]
+    K = X @ X.T + 1e-6 * np.eye(16)
+    mat = tmp_path / "km.dat"
+    write_precomputed(str(mat), [f"{v:.6f}" for v in z], K)
+    model = tmp_path / "km.model"
+    assert train_main(["-s", "4", "-c", "2.0", "-n", "0.5", str(mat), str(model)]) == 0
+    out = tmp_path / "pred.txt"
+    assert predict_main([str(mat), str(model), str(out)]) == 0
+    preds = np.array([float(l) for l in out.read_text().split()])
+    assert np.corrcoef(preds, z)[0, 1] > 0.9
