@@ -48,6 +48,9 @@ class AppOptions:
     model_files: list[str] = field(default_factory=list)
     predict_outputs: list[str] = field(default_factory=list)
     trace_dir: str = ""
+    use_pf_scale_file: bool = False
+    pf_files: list[str] = field(default_factory=list)
+    pf_ts_files: list[str] = field(default_factory=list)
 
 
 def add_common_options(p: argparse.ArgumentParser) -> None:
@@ -66,6 +69,11 @@ def add_common_options(p: argparse.ArgumentParser) -> None:
     p.add_argument("--trace-dir", default="",
                    help="write a jax.profiler trace of the run to this "
                         "directory (view with TensorBoard / xprof)")
+    p.add_argument("--use-pf-scale-file", action="store_true",
+                   help="positional args come as 'label file pf_scale_file' "
+                        "triples (framework.cpp:26-30); the scaled fold "
+                        "engine self-normalizes, so the values only validate "
+                        "example counts")
     # positional grammar "output [label file]... [--test ...]" is collected
     # from unrecognized args (labels like -1 confuse argparse), mirroring the
     # reference's collect_unrecognized pattern (stem_kernel_lite/main.cpp:152-163)
@@ -91,6 +99,7 @@ def parse_positional(ns: argparse.Namespace) -> AppOptions:
         predict_outputs=list(ns.predict),
         trace_dir=getattr(ns, "trace_dir", ""),
     )
+    opts.use_pf_scale_file = getattr(ns, "use_pf_scale_file", False)
     if "--test" in extra:
         opts.predict_mode = True
         x = extra.index("--test")
@@ -99,18 +108,45 @@ def parse_positional(ns: argparse.Namespace) -> AppOptions:
     else:
         pairs = extra[1:]
         ts = []
-    opts.labels = pairs[0::2]
-    opts.files = pairs[1::2]
-    opts.ts_labels = ts[0::2]
-    opts.ts_files = ts[1::2]
+    stride = 3 if opts.use_pf_scale_file else 2
+    opts.labels = pairs[0::stride]
+    opts.files = pairs[1::stride]
+    opts.ts_labels = ts[0::stride]
+    opts.ts_files = ts[1::stride]
+    if opts.use_pf_scale_file:
+        # 'label file pf_scale_file' triples (framework.cpp:96-139;
+        # DataLoader pf_is_, stem_kernel_lite/data.cpp:510-538)
+        opts.pf_files = pairs[2::stride]
+        opts.pf_ts_files = ts[2::stride]
     return opts
 
 
-def load_labeled(labels: list[str], files: list[str], verbose: bool = True):
-    """Stream examples per (label, glob) pair with per-file timing."""
+def load_pf_scales(pf_files: list[str], counts: list[int]) -> list[float]:
+    """Read per-example pf_scale side files (one float per example,
+    stem_kernel_lite/data.cpp:510-538).  The TPU fold engine performs its own
+    per-length rescaling, so the values are only validated against example
+    counts and returned for diagnostics."""
+    scales: list[float] = []
+    for path, count in zip(pf_files, counts):
+        vals = [float(t) for t in open(path).read().split()]
+        if len(vals) < count:
+            raise ValueError(
+                f"{path}: {len(vals)} pf_scale values for {count} examples"
+            )
+        scales.extend(vals[:count])
+    return scales
+
+
+def load_labeled(labels: list[str], files: list[str], verbose: bool = True,
+                 counts_out: list[int] | None = None):
+    """Stream examples per (label, glob) pair with per-file timing.
+
+    ``counts_out``: optional list appended with the example count of each
+    (label, pattern) argument — used to validate pf_scale side files."""
     alignments: list[Alignment] = []
     out_labels: list[str] = []
     for label, pattern in zip(labels, files):
+        n_before = len(alignments)
         for path in expand_globs([pattern]):
             t0 = time.time()
             n0 = len(alignments)
@@ -123,6 +159,8 @@ def load_labeled(labels: list[str], files: list[str], verbose: bool = True):
                     f"{time.time()-t0:.1f}s) done.",
                     file=sys.stderr,
                 )
+        if counts_out is not None:
+            counts_out.append(len(alignments) - n_before)
     return alignments, out_labels
 
 
@@ -177,7 +215,11 @@ def run_app(
 def _run_app_inner(opts, featurize, make_kernel_fn, *, batch_size, mesh,
                    log_kernel):
     t_start = time.time()
-    train_alns, train_labels = load_labeled(opts.labels, opts.files)
+    counts: list[int] | None = [] if opts.use_pf_scale_file else None
+    train_alns, train_labels = load_labeled(opts.labels, opts.files,
+                                            counts_out=counts)
+    if opts.use_pf_scale_file:
+        load_pf_scales(opts.pf_files, counts)
     if not opts.predict_mode:
         feats, aux = featurize(train_alns)
         kernel_fn = make_kernel_fn(aux)
@@ -195,7 +237,11 @@ def _run_app_inner(opts, featurize, make_kernel_fn, *, batch_size, mesh,
         sv_index = load_sv_index(opts.model_files)
         models = [load_model(m) for m in opts.model_files]
 
-    test_alns, test_labels = load_labeled(opts.ts_labels, opts.ts_files)
+    ts_counts: list[int] | None = [] if opts.use_pf_scale_file else None
+    test_alns, test_labels = load_labeled(opts.ts_labels, opts.ts_files,
+                                          counts_out=ts_counts)
+    if opts.use_pf_scale_file:
+        load_pf_scales(opts.pf_ts_files, ts_counts)
     # featurize jointly so padded shapes agree, then split
     all_alns = train_alns + test_alns
     feats, aux = featurize(all_alns)

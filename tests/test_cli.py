@@ -213,3 +213,33 @@ def test_stem_kernel_lite_use_contrafold_flag(tmp_path):
     m1 = [l.split()[2:] for l in open(out1)]
     m2 = [l.split()[2:] for l in open(out2)]
     assert m1 != m2  # parameter set changed the Gram matrix
+
+
+def test_use_pf_scale_file_triples(tmp_path):
+    """--use-pf-scale-file switches positionals to 'label file pf_file'
+    triples (framework.cpp:26-30,96-139); counts are validated."""
+    from stem_kernel_tpu.cli import bpla_kernel
+
+    pos_fa, neg_fa = setup_data(tmp_path)
+    n = 6
+    pf_pos = tmp_path / "pos.pf"
+    pf_neg = tmp_path / "neg.pf"
+    pf_pos.write_text("\n".join(["1.07"] * n) + "\n")
+    pf_neg.write_text("\n".join(["1.07"] * n) + "\n")
+    out = str(tmp_path / "km.dat")
+    rc = bpla_kernel.main([
+        "--use-pf-scale-file", "-n", out,
+        "+1", pos_fa, str(pf_pos), "-1", neg_fa, str(pf_neg),
+    ])
+    assert rc == 0
+    assert len(open(out).readlines()) == 2 * n
+
+    # short pf file -> error
+    pf_pos.write_text("1.07\n")
+    import pytest
+
+    with pytest.raises(ValueError, match="pf_scale"):
+        bpla_kernel.main([
+            "--use-pf-scale-file", out,
+            "+1", pos_fa, str(pf_pos), "-1", neg_fa, str(pf_neg),
+        ])
