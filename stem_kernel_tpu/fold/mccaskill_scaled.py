@@ -453,11 +453,17 @@ def _bpp_vmapped(codes, lengths, params_key, w_extra):
     )
 
 
+MAX_FOLD_BATCH = 128
+
+
 def _batch_bucket(b: int) -> int:
-    """Geometric batch buckets (8, 16, 32, ...): recompiles are bounded by
-    O(log B) variants instead of one per dataset size."""
+    """Geometric batch buckets (8, 16, ..., MAX_FOLD_BATCH): recompiles are
+    bounded by O(log B) variants instead of one per dataset size.  The cap
+    bounds HBM too — the inside pass stacks O(L) span slices of (B, L, L)
+    tables, so an uncapped batch axis scales device memory with corpus size;
+    larger corpora are folded in MAX_FOLD_BATCH chunks."""
     n = 8
-    while n < b:
+    while n < b and n < MAX_FOLD_BATCH:
         n *= 2
     return n
 
@@ -479,16 +485,34 @@ def mccaskill_bpp_batch_scaled(
     key = _register(params)
     codes_np = np.asarray(codes_batch)
     b = codes_np.shape[0]
+    if b > MAX_FOLD_BATCH:
+        # chunked dispatch: async-queue every chunk, then fetch (device work
+        # and tunnel round trips overlap across chunks)
+        pending = []
+        for s in range(0, b, MAX_FOLD_BATCH):
+            chunk = codes_np[s : s + MAX_FOLD_BATCH]
+            lens_c = np.asarray(lengths)[s : s + MAX_FOLD_BATCH]
+            we_c = None if w_extra is None else np.asarray(w_extra)[s : s + MAX_FOLD_BATCH]
+            pending.append(_bpp_dispatch(chunk, lens_c, key, we_c))
+        bpps = np.concatenate([np.asarray(p[0][:n]) for p, n in pending])
+        logZs = np.concatenate([np.asarray(p[1][:n]) for p, n in pending])
+        return bpps, logZs
+    (bpp, logZ), n = _bpp_dispatch(codes_np, np.asarray(lengths), key, w_extra)
+    return np.asarray(bpp[:n]), np.asarray(logZ[:n])
+
+
+def _bpp_dispatch(codes_np, lens_np, key, w_extra):
+    """Pad one chunk to its batch bucket and dispatch (async)."""
+    b = codes_np.shape[0]
     b_pad = _batch_bucket(b)
     codes_np = np.pad(codes_np, ((0, b_pad - b), (0, 0)))
-    lens_np = np.pad(np.asarray(lengths), (0, b_pad - b))
+    lens_p = np.pad(lens_np, (0, b_pad - b))
     codes = jnp.asarray(codes_np, jnp.int32)
-    lens = jnp.asarray(lens_np, jnp.int32)
+    lens = jnp.asarray(lens_p, jnp.int32)
     we = None
     if w_extra is not None:
         we = jnp.asarray(
             np.pad(np.asarray(w_extra, np.float32),
                    ((0, b_pad - b), (0, 0), (0, 0)))
         )
-    bpp, logZ = _bpp_vmapped(codes, lens, key, we)
-    return np.asarray(bpp[:b]), np.asarray(logZ[:b])
+    return _bpp_vmapped(codes, lens, key, we), b

@@ -49,6 +49,7 @@ class PairKernelEngine:
         features: Mapping[str, np.ndarray],
         *,
         batch_size: int = 512,
+        chunk: int = 8,
         mesh=None,
         log_values: bool = False,
     ) -> None:
@@ -64,12 +65,26 @@ class PairKernelEngine:
             n_dev = mesh.size
             batch_size = max(n_dev, (batch_size // n_dev) * n_dev)
         self.batch_size = batch_size
+        self._chunk = max(1, chunk)
         self._eval = jax.jit(self._eval_impl)
+        self._eval_many = jax.jit(self._eval_many_impl)
 
     def _eval_impl(self, feats_x, feats_y, ix, iy):
         x = {k: jnp.take(v, ix, axis=0) for k, v in feats_x.items()}
         y = {k: jnp.take(v, iy, axis=0) for k, v in feats_y.items()}
         return self.kernel_fn(x, y)
+
+    def _eval_many_impl(self, feats_x, feats_y, ix2, iy2):
+        """Evaluate CHUNK batches in one device program.
+
+        ``ix2``/``iy2`` are (CHUNK, batch_size).  One dispatch covers CHUNK
+        batches, amortizing host->device round trips (the TPU sits behind a
+        ~30 ms tunnel; per-batch dispatch was the Gram-stage bottleneck).
+        """
+        return jax.lax.map(
+            lambda ij: self._eval_impl(feats_x, feats_y, ij[0], ij[1]),
+            (ix2, iy2),
+        )
 
     def _run_pairs(
         self, ix: np.ndarray, iy: np.ndarray, feats_y=None, checkpoint=None
@@ -91,27 +106,64 @@ class PairKernelEngine:
         # dispatch every batch before fetching any result: JAX's async
         # dispatch queues the device work so compute, host transfers, and
         # (over a TPU tunnel) round-trip latency all overlap across batches
-        # instead of serializing dispatch->fetch per batch.
-        pending: list[tuple[int, object]] = []
-        for b in range(n_batches):
+        # instead of serializing dispatch->fetch per batch.  On top of that,
+        # full runs of CHUNK consecutive batches go down in ONE device
+        # program (lax.map inside _eval_many), so the number of round trips
+        # scales as n_batches/CHUNK rather than n_batches.
+        CHUNK = self._chunk
+        pending: list[tuple[int, int, object]] = []
+        b = 0
+        while b < n_batches:
             if checkpoint is not None and checkpoint.is_done(b):
                 vals = checkpoint.load_batch(b)
                 out[b * bs : b * bs + len(vals)] = vals
+                b += 1
                 continue
-            bix = jnp.asarray(ix_p[b * bs : (b + 1) * bs])
-            biy = jnp.asarray(iy_p[b * bs : (b + 1) * bs])
-            if self.mesh is not None:
-                from ..parallel.mesh import shard_pairs
+            span = 1
+            if checkpoint is None:
+                span = min(CHUNK, n_batches - b)
+            else:
+                while (
+                    span < CHUNK
+                    and b + span < n_batches
+                    and not checkpoint.is_done(b + span)
+                ):
+                    span += 1
+            if span == CHUNK:
+                bix = jnp.asarray(ix_p[b * bs : (b + CHUNK) * bs].reshape(CHUNK, bs))
+                biy = jnp.asarray(iy_p[b * bs : (b + CHUNK) * bs].reshape(CHUNK, bs))
+                if self.mesh is not None:
+                    bix = self._shard_chunk(bix)
+                    biy = self._shard_chunk(biy)
+                pending.append((b, CHUNK, self._eval_many(self.features, feats_y, bix, biy)))
+                b += CHUNK
+                continue
+            for s in range(span):
+                bb = b + s
+                bix = jnp.asarray(ix_p[bb * bs : (bb + 1) * bs])
+                biy = jnp.asarray(iy_p[bb * bs : (bb + 1) * bs])
+                if self.mesh is not None:
+                    from ..parallel.mesh import shard_pairs
 
-                bix = shard_pairs(self.mesh, bix)
-                biy = shard_pairs(self.mesh, biy)
-            pending.append((b, self._eval(self.features, feats_y, bix, biy)))
-        for b, dev_vals in pending:
-            vals = np.asarray(dev_vals)
-            out[b * bs : (b + 1) * bs] = vals
+                    bix = shard_pairs(self.mesh, bix)
+                    biy = shard_pairs(self.mesh, biy)
+                pending.append((bb, 1, self._eval(self.features, feats_y, bix, biy)))
+            b += span
+        for b, span, dev_vals in pending:
+            vals = np.asarray(dev_vals).reshape(span * bs)
+            out[b * bs : (b + span) * bs] = vals
             if checkpoint is not None:
-                checkpoint.store_batch(b, vals)
+                for s in range(span):
+                    checkpoint.store_batch(b + s, vals[s * bs : (s + 1) * bs])
         return out[:n_pairs]
+
+    def _shard_chunk(self, arr: jax.Array) -> jax.Array:
+        """Shard the batch (last) axis of a (CHUNK, batch_size) index block."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import PAIR_AXIS
+
+        return jax.device_put(arr, NamedSharding(self.mesh, P(None, PAIR_AXIS)))
 
     def gram(self, *, normalize: bool = False, checkpoint_path: str | None = None) -> np.ndarray:
         """Full symmetric N x N Gram matrix (upper triangle computed once).
