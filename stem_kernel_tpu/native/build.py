@@ -7,10 +7,13 @@ import subprocess
 import sys
 
 
-def build(verbose: bool = True) -> str:
+def build(verbose: bool = True, force: bool = False) -> str:
     here = os.path.dirname(__file__)
     out = os.path.join(here, "libsktnative.so")
     srcs = [os.path.join(here, f) for f in ("smo.cpp", "dagscan.cpp")]
+    if not force and os.path.exists(out):
+        if os.path.getmtime(out) >= max(os.path.getmtime(s) for s in srcs):
+            return out  # up to date
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", out, *srcs]
     if verbose:
         print(" ".join(cmd), file=sys.stderr)

@@ -294,13 +294,25 @@ def svm_cross_validation(
     eps: float = 1e-3,
     seed: int = 0,
 ) -> list[str]:
-    """n-fold CV predictions (svm_cross_validation, svm.cpp:908-990)."""
+    """n-fold CV predictions (svm_cross_validation, svm.cpp:908-990).
+
+    Folds are stratified by class, as in the reference: LIBSVM shuffles each
+    class independently and deals its points evenly across the folds so every
+    fold preserves the class balance (/root/reference/libsvm/svm.cpp:916-958).
+    """
     n = len(labels)
     rng = np.random.default_rng(seed)
-    perm = rng.permutation(n)
+    fold_of = np.empty(n, dtype=np.int64)
+    next_fold = 0  # continue dealing across classes so small classes spread out
+    for cls in dict.fromkeys(labels):  # first-appearance class order, like libsvm
+        idx = np.flatnonzero(np.asarray(labels, dtype=object) == cls)
+        idx = rng.permutation(idx)
+        for i in idx:
+            fold_of[i] = next_fold % n_folds
+            next_fold += 1
     preds = [""] * n
     for f in range(n_folds):
-        test = perm[f::n_folds]
+        test = np.flatnonzero(fold_of == f)
         train = np.setdiff1d(np.arange(n), test)
         model = svm_train(K[np.ix_(train, train)], [labels[i] for i in train], C=C, eps=eps)
         for t in test:

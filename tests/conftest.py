@@ -17,3 +17,27 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)  # f64 validation paths in fold tests
+
+# Build the native C++ library once per test session so test_native.py (and
+# the SMO/DAG fast paths throughout the suite) run against the real thing
+# instead of skipping.  Mirrors the reference's assumption that its C++ core
+# is always compiled (/root/reference/configure.ac builds everything).
+import shutil as _shutil
+
+
+def _ensure_native_lib() -> None:
+    import stem_kernel_tpu.native as _nat
+
+    if _nat.available() or _shutil.which("g++") is None:
+        return
+    try:
+        from stem_kernel_tpu.native.build import build as _build
+
+        _build(verbose=False)
+    except Exception as exc:  # pragma: no cover - toolchain-dependent
+        import warnings
+
+        warnings.warn(f"native lib build failed, tests fall back to Python: {exc}")
+
+
+_ensure_native_lib()
