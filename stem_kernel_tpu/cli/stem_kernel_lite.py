@@ -22,11 +22,12 @@ from .app import add_common_options, parse_args_with_positionals, parse_position
 def add_fold_options(p: argparse.ArgumentParser) -> None:
     """Folding options (BPMatrix::Options::add_options, bpmatrix.cpp:45-82)."""
     p.add_argument("--noGU", action="store_true",
-                   help="disallow GU wobble base-pairs (energy-model flag)")
+                   help="disallow GU wobble base-pairs")
     p.add_argument("--noClosingGU", action="store_true",
-                   help="disallow closing GU base-pairs (accepted; approximated)")
+                   help="disallow GU pairs closing hairpin/multibranch loops")
     p.add_argument("--noLonelyPairs", action="store_true",
-                   help="disallow lonely base-pairs (accepted; approximated)")
+                   help="disallow isolated base-pairs (Vienna pf heuristic: "
+                        "a pair must be stackable on a canonical neighbour)")
     p.add_argument("--use-alifold", action="store_true",
                    help="use consensus folding for alignments")
     p.add_argument("--use-contrafold", metavar="PARAMS", default=None,
@@ -36,19 +37,20 @@ def add_fold_options(p: argparse.ArgumentParser) -> None:
 
 
 def fold_opts_from(ns: argparse.Namespace) -> BPMatrixOptions:
+    """Energy-model gate flags, matching the reference's folding options
+    (BPMatrix::Options, /root/reference/common/bpmatrix.cpp:45-82)."""
     opts = BPMatrixOptions(alifold=ns.use_alifold)
     if getattr(ns, "use_contrafold", None):
         from ..fold.params import load_params_file
 
         opts.params = load_params_file(ns.use_contrafold)
-    if ns.noGU:
+    if ns.noGU or getattr(ns, "noClosingGU", False) or getattr(ns, "noLonelyPairs", False):
         from ..fold.params import default_params
 
         params = opts.params or default_params()
-        # disallow GU/UG by giving those pair types -inf bonus
-        params.pair_bonus = params.pair_bonus.copy()
-        params.pair_bonus[2] = -1e30  # GU
-        params.pair_bonus[3] = -1e30  # UG
+        params.no_gu = bool(ns.noGU)
+        params.no_closing_gu = bool(getattr(ns, "noClosingGU", False))
+        params.no_lonely_pairs = bool(getattr(ns, "noLonelyPairs", False))
         opts.params = params
     return opts
 

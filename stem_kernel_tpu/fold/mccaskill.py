@@ -1,7 +1,9 @@
 """McCaskill partition function + base-pair probabilities, batched in JAX.
 
 In-framework replacement for the reference's Vienna `pf_fold` calls
-(/root/reference/common/bpmatrix.cpp:151-177, common/pf_wrapper.cpp:15-36).
+(/root/reference/common/bpmatrix.cpp:151-177, common/pf_wrapper.cpp:15-36),
+implementing the full Vienna-structured energy model (see fold.params and
+fold.tables for the loop-class taxonomy).
 
 TPU-first design:
 
@@ -14,21 +16,25 @@ TPU-first design:
 - split-point sums (multiloop segment composition) are batched gathers over
   shifted rows, the O(n^3) core;
 - interior loops enumerate static (a, b) offset lists bounded by
-  ``max_interior`` exactly like Vienna's MAXLOOP bound;
+  ``max_interior`` exactly like Vienna's MAXLOOP bound, split into Vienna's
+  loop classes (generic / 1xn / 2x3 / bulge) with per-class mismatch tables
+  and explicit terms for stack, bulge-1, int11, int21, int22;
 - base-pair probabilities come from an **explicit outside pass** (same span
   layout, scanned top-down), keeping memory at O(n^2) — reverse-mode AD
   through the inside scan would store O(n^3) residuals.  The identity
   bpp = d logZ / d w_pair is used in tests as an independent oracle.
 
-Recursions (log-space; ⊕ = logaddexp):
-    Qb[i,j] = w[i,j] + ( hairpin(d-1)
-                       ⊕ stack(i,j) + Qb[i+1,j-1]
-                       ⊕ (+)_{a,b} interior(a-1,b-1) + Qb[i+a,j-b]
-                       ⊕ ml_close + 2*ml_branch... (closing + branch) + Qm2[i+1,j-1] )
-    Qm1[i,j] = (Qm1[i,j-1] + ml_unpaired) ⊕ (ml_branch + Qb[i,j])
+Recursions (log-space; ⊕ = logaddexp; luts from fold.tables):
+    Qb[i,j] = wpair[i,j] + ( hairpin[i,j]
+                ⊕ stack[i,j] + Qb[i+1,j-1]
+                ⊕ bulge1/int11/int21/int22 lut terms
+                ⊕ (+)_{class, a,b} pen_cls(a,b) + mm_out_cls[i,j]
+                        + mm_in_cls[i+a,j-b] + Qb[i+a,j-b]
+                ⊕ ml_close[i,j] + Qm2[i+1,j-1] )
+    Qm1[i,j] = (Qm1[i,j-1] + c) ⊕ (ml_stem[i,j] + Qb[i,j])
     Qm2[i,j] = (+)_{t>=1} Qm[i,i+t-1] + Qm1[i+t,j]
-    Qm[i,j]  = Qm2[i,j] ⊕ (+)_{t>=0} t*ml_unpaired + Qm1[i+t,j]
-    Ql[j]    = Ql[j-1] ⊕ (+)_k Ql[k-1] + Qb[k,j]      (external chain)
+    Qm[i,j]  = Qm2[i,j] ⊕ (+)_{t>=0} t*c + Qm1[i+t,j]
+    Ql[j]    = Ql[j-1] ⊕ (+)_k Ql[k-1] + Qb[k,j] + ext_stem[k,j]
 """
 
 from __future__ import annotations
@@ -39,55 +45,52 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .params import (
-    EnergyParams,
-    N_PAIR,
-    PAIR_TYPE,
-    default_params,
-    hairpin_score,
-    interior_score,
-)
+from .params import EnergyParams, default_params, loop_len_score
+from .tables import build_luts
 
 NEG = -1e30
 
+# interior-loop class ids for the offset sweep
+_CLS_GEN, _CLS_1N, _CLS_23, _CLS_BUL = 0, 1, 2, 3
 
-def _interior_offsets(params: EnergyParams) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Static (a, b) offset lists for interior/bulge loops, excluding (1,1)."""
-    offs = []
-    pens = []
+
+def _interior_offsets(params: EnergyParams):
+    """Static (a, b, penalty, class) offset lists for the loop-class sweep.
+
+    Covers every interior/bulge with a lut-free penalty: generic, 1xn, 2x3
+    and bulges >= 2.  Stack/bulge-1/int11/int21/int22 are explicit lut terms.
+    """
+    offs, pens, clss = [], [], []
     for a in range(1, params.max_interior + 2):
         for b in range(1, params.max_interior + 2):
-            if a == 1 and b == 1:
+            n1, n2 = a - 1, b - 1
+            if n1 + n2 > params.max_interior:
                 continue
-            if (a - 1) + (b - 1) > params.max_interior:
-                continue
+            ns, nl = min(n1, n2), max(n1, n2)
+            if nl == 0 or (ns >= 1 and nl <= 2 and ns <= 2 and (ns, nl) in (
+                (1, 1), (1, 2), (2, 2))):
+                continue  # stack / int11 / int21 / int22: explicit luts
+            if ns == 0:
+                if nl == 1:
+                    continue  # bulge-1: explicit lut (keeps stacking)
+                pen = float(loop_len_score(params.bulge_len, params.lxc, nl))
+                cls = _CLS_BUL
+            else:
+                pen = float(
+                    loop_len_score(params.interior_len, params.lxc, ns + nl)
+                ) + max(params.ninio * (nl - ns), params.ninio_max)
+                if ns == 1:  # nl >= 3 here
+                    cls = _CLS_1N
+                elif ns == 2 and nl == 3:
+                    cls = _CLS_23
+                else:
+                    cls = _CLS_GEN
             offs.append((a, b))
-            pens.append(float(interior_score(params, a - 1, b - 1)))
+            pens.append(pen)
+            clss.append(cls)
     offs = np.asarray(offs, dtype=np.int32)
-    return offs[:, 0], offs[:, 1], np.asarray(pens)
-
-
-def _pair_tables(codes: jax.Array, length: jax.Array, params: EnergyParams, w_extra):
-    """(wpair, stack_diag) lookups over the (n, n) pair grid.
-
-    wpair[i, j] = pair-type bonus + optional extra log-weight, NEG where the
-    pair is disallowed (non-canonical, too close, out of sequence).
-    stacklut[i, j] = stack score for outer pair (i, j) over inner (i+1, j-1).
-    """
-    n = codes.shape[0]
-    pt = jnp.asarray(PAIR_TYPE)[codes[:, None], codes[None, :]]  # (n, n)
-    ii = jnp.arange(n)
-    dmat = ii[None, :] - ii[:, None]
-    ok = (pt >= 0) & (dmat > params.min_hairpin) & (ii[None, :] < length)
-    bonus = jnp.asarray(params.pair_bonus)
-    wpair = jnp.where(ok, bonus[jnp.clip(pt, 0)], NEG)
-    if w_extra is not None:
-        wpair = jnp.where(ok, wpair + w_extra, NEG)
-    inner_pt = jnp.roll(jnp.roll(pt, -1, axis=0), 1, axis=1)  # pt[i+1, j-1]
-    stack_tab = jnp.asarray(params.stack)
-    stacklut = stack_tab[jnp.clip(pt, 0), jnp.clip(inner_pt, 0)]
-    stacklut = jnp.where((pt >= 0) & (inner_pt >= 0), stacklut, NEG)
-    return wpair, stacklut
+    return (offs[:, 0], offs[:, 1], np.asarray(pens),
+            np.asarray(clss, dtype=np.int32))
 
 
 def _span_gather(table: jax.Array, rows: jax.Array, cols: jax.Array) -> jax.Array:
@@ -98,59 +101,92 @@ def _span_gather(table: jax.Array, rows: jax.Array, cols: jax.Array) -> jax.Arra
     return jnp.where(valid, jnp.take(table.reshape(-1), flat), NEG)
 
 
+def _luts_f(codes, length, params, w_extra, dt):
+    luts = build_luts(codes, length, params, w_extra)
+    return {k: v.astype(dt) for k, v in luts.items()}
+
+
 @partial(jax.jit, static_argnums=(2,))
-def _inside(codes: jax.Array, length: jax.Array, params_key, w_extra, hp_vec, ia, ib, ipen):
-    """Inside pass.  Returns (Qb, Qm1, Qm, Qm2, Ql, logZ), tables in span layout."""
+def _inside(codes: jax.Array, length: jax.Array, params_key, w_extra, ia, ib, ipen, icls, dt_probe):
+    """Inside pass.  Returns span-layout tables + luts dict."""
     params = _PARAMS_REGISTRY[params_key]
     n = codes.shape[0]
-    dt = hp_vec.dtype
-    wpair, stacklut = _pair_tables(codes, length, params, w_extra)
-    wpair = wpair.astype(dt)
-    stacklut = stacklut.astype(dt)
+    dt = dt_probe.dtype
+    L = _luts_f(codes, length, params, w_extra, dt)
 
     i_idx = jnp.arange(n)
     t_idx = jnp.arange(n)  # split offsets
-    b_ml = dt.type(params.ml_branch)
     c_ml = dt.type(params.ml_unpaired)
-    a_ml = dt.type(params.ml_close)
 
     def ij_diag(mat, d):
         # mat is [i, j]-layout; return mat[i, i+d] as a vector over i
         return _span_gather(mat, i_idx, i_idx + d)
 
+    # class tables: mm_out rows gathered per step; mm_in folded into shadow
+    # copies of Qb (QbX[d, i] = Qb[d, i] + mm_in_cls[i, i+d])
+    cls_out = [L["mm_i_out"], L["mm_1n_out"], L["mm_23_out"], L["term_out"]]
+    cls_in = [L["mm_i_in"], L["mm_1n_in"], L["mm_23_in"], L["term_in"]]
+
+    full = lambda: jnp.full((n, n), NEG, dt)
     init = (
-        jnp.full((n, n), NEG, dt),  # Qb   (span layout [d, i])
-        jnp.full((n, n), NEG, dt),  # Qm1
-        jnp.full((n, n), NEG, dt),  # Qm
-        jnp.full((n, n), NEG, dt),  # Qm2
+        full(),  # Qb   (span layout [d, i])
+        [full(), full(), full(), full()],  # class-weighted Qb shadows
+        full(),  # Qm1
+        full(),  # Qm
+        full(),  # Qm2
     )
 
     def step(carry, d):
-        Qb, Qm1, Qm, Qm2 = carry
-        w_row = ij_diag(wpair, d)  # (n,)
-        st_row = ij_diag(stacklut, d)
+        Qb, QbX, Qm1, Qm, Qm2 = carry
+        w_row = ij_diag(L["wpair"], d)  # (n,)
 
-        # hairpin: d-1 unpaired
-        hp = jnp.where(d - 1 >= params.min_hairpin, hp_vec[jnp.clip(d - 1, 0)], dt.type(NEG))
-        acc = jnp.broadcast_to(hp, (n,))
+        # hairpin (full lut: length + mismatch/terminal + specials + gates)
+        acc = ij_diag(L["hairpin"], d)
 
-        # stack (a=b=1): inner span d-2 starting at i+1
-        stack_term = st_row + _span_gather(Qb, jnp.full((n,), d - 2), i_idx + 1)
-        acc = jnp.logaddexp(acc, stack_term)
+        # stack (a=b=1)
+        acc = jnp.logaddexp(
+            acc, ij_diag(L["stack"], d)
+            + _span_gather(Qb, jnp.full((n,), d - 2), i_idx + 1)
+        )
+        # explicit small-loop luts: (lut, inner span offset, inner start shift)
+        for lut, ds, sh in (
+            (L["bulge1_l"], 3, 2), (L["bulge1_r"], 3, 1),
+            (L["int11"], 4, 2),
+            (L["int21_l"], 5, 2), (L["int21_r"], 5, 3),
+            (L["int22"], 6, 3),
+        ):
+            acc = jnp.logaddexp(
+                acc, ij_diag(lut, d)
+                + _span_gather(Qb, jnp.full((n,), d - ds), i_idx + sh)
+            )
 
-        # interior loops: offsets (ia, ib), penalty ipen
+        # class sweep over (a, b) offsets: gather the class-weighted Qb
+        # shadow per offset from one concatenated (4n, n) table
         rows = d - (ia + ib)  # (K,)
-        it = ipen[:, None] + _span_gather(Qb, rows[:, None], i_idx[None, :] + ia[:, None])
+        out_k = jnp.stack(
+            [ij_diag(cls_out[c], d) for c in range(4)], axis=0
+        )  # (4, n)
+        qb_cat = jnp.concatenate(QbX, axis=0)  # (4n, n)
+        cols = i_idx[None, :] + ia[:, None]
+        r2 = rows[:, None]
+        valid = (r2 >= 0) & (r2 < n) & (cols >= 0) & (cols < n)
+        flat = (icls[:, None] * n + jnp.clip(r2, 0, n - 1)) * n + jnp.clip(cols, 0, n - 1)
+        inner = jnp.where(valid, jnp.take(qb_cat.reshape(-1), flat), NEG)
+        it = ipen[:, None] + out_k[icls] + inner
         acc = jnp.logaddexp(acc, jax.nn.logsumexp(it, axis=0))
 
-        # multiloop closing: a + b (closing pair counts as a branch) + Qm2[i+1, j-1]
-        ml = a_ml + b_ml + _span_gather(Qm2, jnp.full((n,), d - 2), i_idx + 1)
+        # multiloop closing (lut includes a + b + terminal + mismatch + gate)
+        ml = ij_diag(L["ml_close"], d) + _span_gather(
+            Qm2, jnp.full((n,), d - 2), i_idx + 1
+        )
         acc = jnp.logaddexp(acc, ml)
 
         qb_row = w_row + acc
 
-        # Qm1 incremental: Qm1[i, i+d] = (Qm1[i, i+d-1] + c) ⊕ (b + Qb[i, i+d])
-        qm1_row = jnp.logaddexp(Qm1[d - 1] + c_ml, b_ml + qb_row)
+        # Qm1 incremental; branch lut includes b + terminal + mismatch_m
+        qm1_row = jnp.logaddexp(
+            Qm1[d - 1] + c_ml, ij_diag(L["ml_stem"], d) + qb_row
+        )
 
         # split gathers: A[t, i] = Qm1[i+t, i+d] (span d-t)
         A = _span_gather(Qm1, (d - t_idx)[:, None], i_idx[None, :] + t_idx[:, None])
@@ -163,19 +199,25 @@ def _inside(codes: jax.Array, length: jax.Array, params_key, w_extra, hp_vec, ia
         qm_row = jnp.logaddexp(qm2_row, unp)
 
         Qb = Qb.at[d].set(qb_row)
+        QbX = [
+            QbX[c].at[d].set(qb_row + ij_diag(cls_in[c], d)) for c in range(4)
+        ]
         Qm1 = Qm1.at[d].set(qm1_row)
         Qm = Qm.at[d].set(qm_row)
         Qm2 = Qm2.at[d].set(qm2_row)
-        return (Qb, Qm1, Qm, Qm2), None
+        return (Qb, QbX, Qm1, Qm, Qm2), None
 
-    (Qb, Qm1, Qm, Qm2), _ = jax.lax.scan(step, init, jnp.arange(1, n))
+    (Qb, QbX, Qm1, Qm, Qm2), _ = jax.lax.scan(step, init, jnp.arange(1, n))
 
-    # external chain over prefixes: Ql[j], with Ql[-1] = 0 represented by index 0
+    # external chain over prefixes: Ql[j], with Ql[-1] = 0 at index 0
+    ext_diag = jnp.arange(n)
+    QbE = Qb + _span_gather(
+        L["ext_stem"], i_idx[None, :], i_idx[None, :] + ext_diag[:, None]
+    )  # span layout: ext_stem[i, i+d] added to Qb[d, i]
+
     def ext_step(ql, j):
-        # ql: (n+1,) with ql[k] = Ql[k-1]
         prev = ql[j]  # Ql[j-1]
-        # sum over k: Ql[k-1] + Qb[k, j]
-        qb_col = _span_gather(Qb, j - i_idx, i_idx)  # Qb[k, j] over k
+        qb_col = _span_gather(QbE, j - i_idx, i_idx)  # QbE[k, j] over k
         paired = jax.nn.logsumexp(ql[:n] + qb_col, axis=0)
         val = jnp.logaddexp(prev, paired)
         val = jnp.where(j < length, val, prev)
@@ -185,41 +227,37 @@ def _inside(codes: jax.Array, length: jax.Array, params_key, w_extra, hp_vec, ia
     ql0 = jnp.concatenate([jnp.zeros((1,), dt), jnp.full((n,), NEG, dt)])
     ql, _ = jax.lax.scan(ext_step, ql0, jnp.arange(n))
     logZ = ql[length]
-    return Qb, Qm1, Qm, Qm2, ql, logZ
+    return Qb, QbE, Qm1, Qm, Qm2, ql, logZ
 
 
 @partial(jax.jit, static_argnums=(2,))
-def _outside(codes, length, params_key, w_extra, hp_vec, ia, ib, ipen,
-             Qb, Qm1, Qm, Qm2, ql, logZ):
+def _outside(codes, length, params_key, w_extra, ia, ib, ipen, icls,
+             Qb, QbE, Qm1, Qm, Qm2, ql, logZ):
     """Outside pass: log outside values for Qb, then base-pair probabilities.
 
     Mirrors the inside recursions in reverse (span scanned top-down); each
-    outside table receives the derivative flow of every inside use site:
-      Om  <- Qm2 split (left part Qm[i,k-1])
-      Om2 <- Qb multiloop closing; Qm (Qm = Qm2 ⊕ unpaired-prefix branch)
-      Om1 <- Qm1 increment; Qm2 split (right part); Qm unpaired-prefix branch
-      Ob  <- exterior chain; interior loops (as inner pair); Qm1 branch entry
+    outside table receives the derivative flow of every inside use site.
     Finally bpp[i,j] = exp(Qb[i,j] + Ob[i,j] - logZ).
     """
     params = _PARAMS_REGISTRY[params_key]
     n = codes.shape[0]
     dt = Qb.dtype
-    wpair, stacklut = _pair_tables(codes, length, params, w_extra)
-    wpair = wpair.astype(dt)
-    stacklut = stacklut.astype(dt)
+    L = _luts_f(codes, length, params, w_extra, dt)
 
     i_idx = jnp.arange(n)
     u_idx = jnp.arange(n)
-    b_ml = dt.type(params.ml_branch)
     c_ml = dt.type(params.ml_unpaired)
-    a_ml = dt.type(params.ml_close)
+
+    cls_out = [L["mm_i_out"], L["mm_1n_out"], L["mm_23_out"], L["term_out"]]
+    cls_in = [L["mm_i_in"], L["mm_1n_in"], L["mm_23_in"], L["term_in"]]
 
     # --- outside of the external chain: OQl[j] over j ---
     def oql_step(oql, j):
-        # descending j; oql[l] already computed for l > j
-        unpaired = jnp.where(j + 1 < length, jnp.take(oql, jnp.clip(j + 1, 0, n - 1)), dt.type(NEG))
-        # pairs (j+1, l): Qb[j+1, l] = Qb_span[l-(j+1), j+1]
-        qb_vec = _span_gather(Qb, u_idx - (j + 1), jnp.full((n,), j + 1))
+        unpaired = jnp.where(
+            j + 1 < length, jnp.take(oql, jnp.clip(j + 1, 0, n - 1)), dt.type(NEG)
+        )
+        # pairs (j+1, l): QbE[j+1, l] = QbE_span[l-(j+1), j+1]
+        qb_vec = _span_gather(QbE, u_idx - (j + 1), jnp.full((n,), j + 1))
         paired = jax.nn.logsumexp(qb_vec + oql, axis=0)
         val = jnp.logaddexp(unpaired, paired)
         val = jnp.where(j == length - 1, dt.type(0.0), val)
@@ -230,23 +268,17 @@ def _outside(codes, length, params_key, w_extra, hp_vec, ia, ib, ipen,
     oql0 = jnp.full((n,), NEG, dt)
     oql, _ = jax.lax.scan(oql_step, oql0, jnp.arange(n - 1, -1, -1))
 
-    # [i, j]-layout helpers for gathers into wpair/stacklut
     def ij_gather(mat, r, c):
         return _span_gather(mat, r, c)
 
-    init = (
-        jnp.full((n, n), NEG, dt),  # Ob
-        jnp.full((n, n), NEG, dt),  # Om1
-        jnp.full((n, n), NEG, dt),  # Om
-        jnp.full((n, n), NEG, dt),  # Om2
-    )
+    full = lambda: jnp.full((n, n), NEG, dt)
+    init = (full(), full(), full(), full())  # Ob, Om1, Om, Om2
 
     def step(carry, D):
         Ob, Om1, Om, Om2 = carry
         j = i_idx + D  # right end per start i
 
         # --- Om[D][i]: from Qm2 splits with left part Qm[i, i+D] ---
-        # sum over outer span u > D: Qm1[u-D-1, i+D+1] + Om2[u, i]
         A2 = _span_gather(Qm1, (u_idx - D - 1)[:, None], jnp.broadcast_to(i_idx + D + 1, (n, n))) \
             + _span_gather(Om2, u_idx[:, None], jnp.broadcast_to(i_idx, (n, n)))
         om_row = jax.nn.logsumexp(jnp.where(u_idx[:, None] > D, A2, NEG), axis=0)
@@ -254,7 +286,8 @@ def _outside(codes, length, params_key, w_extra, hp_vec, ia, ib, ipen,
 
         # --- Om2[D][i]: multiloop closing by pair (i-1, j+1); plus Qm flow ---
         close = ij_gather(Ob, jnp.full((n,), D + 2), i_idx - 1)  # Ob_span[D+2, i-1]
-        close = close + ij_gather(wpair, i_idx - 1, j + 1) + a_ml + b_ml
+        close = close + ij_gather(L["wpair"], i_idx - 1, j + 1) \
+            + ij_gather(L["ml_close"], i_idx - 1, j + 1)
         om2_row = jnp.logaddexp(close, om_row)
         Om2 = Om2.at[D].set(om2_row)
 
@@ -273,19 +306,45 @@ def _outside(codes, length, params_key, w_extra, hp_vec, ia, ib, ipen,
         Om1 = Om1.at[D].set(om1_row)
 
         # --- Ob[D][i] ---
-        # exterior: Ql[i-1] + OQl[j]
-        ext = ql[jnp.clip(i_idx, 0, n)] + jnp.where(j < n, jnp.take(oql, jnp.clip(j, 0, n - 1)), dt.type(NEG))
+        # exterior: Ql[i-1] + OQl[j] + ext_stem[i, j]
+        ext = ql[jnp.clip(i_idx, 0, n)] \
+            + jnp.where(j < n, jnp.take(oql, jnp.clip(j, 0, n - 1)), dt.type(NEG)) \
+            + ij_gather(L["ext_stem"], i_idx, j)
         # stack as inner pair of (i-1, j+1)
         stk = ij_gather(Ob, jnp.full((n,), D + 2), i_idx - 1) \
-            + ij_gather(wpair, i_idx - 1, j + 1) + ij_gather(stacklut, i_idx - 1, j + 1)
+            + ij_gather(L["wpair"], i_idx - 1, j + 1) \
+            + ij_gather(L["stack"], i_idx - 1, j + 1)
         acc = jnp.logaddexp(ext, stk)
-        # interior loops as inner pair of (i-a, j+b)
+        # explicit small-loop luts as inner pair of (i-sh, j+(ds-sh))
+        for lut, ds, sh in (
+            (L["bulge1_l"], 3, 2), (L["bulge1_r"], 3, 1),
+            (L["int11"], 4, 2),
+            (L["int21_l"], 5, 2), (L["int21_r"], 5, 3),
+            (L["int22"], 6, 3),
+        ):
+            t = ij_gather(Ob, jnp.full((n,), D + ds), i_idx - sh) \
+                + ij_gather(L["wpair"], i_idx - sh, j + (ds - sh)) \
+                + ij_gather(lut, i_idx - sh, j + (ds - sh))
+            acc = jnp.logaddexp(acc, t)
+        # class sweep as inner pair of (i-a, j+b); add this pair's mm_in after
+        out_cat = jnp.concatenate(cls_out, axis=0)  # (4n, n) [i, j] layout
+        ro = i_idx[None, :] - ia[:, None]
+        co = j[None, :] + ib[:, None]
+        valid_o = (ro >= 0) & (ro < n) & (co >= 0) & (co < n)
+        flat_o = (icls[:, None] * n + jnp.clip(ro, 0, n - 1)) * n + jnp.clip(co, 0, n - 1)
+        out_lut = jnp.where(valid_o, jnp.take(out_cat.reshape(-1), flat_o), NEG)
         it = ipen[:, None] \
-            + _span_gather(Ob, (D + ia + ib)[:, None], i_idx[None, :] - ia[:, None]) \
-            + ij_gather(wpair, i_idx[None, :] - ia[:, None], j[None, :] + ib[:, None])
-        acc = jnp.logaddexp(acc, jax.nn.logsumexp(it, axis=0))
-        # multiloop branch entry
-        acc = jnp.logaddexp(acc, b_ml + om1_row)
+            + _span_gather(Ob, (D + ia + ib)[:, None], ro) \
+            + ij_gather(L["wpair"], ro, co) \
+            + out_lut
+        in_sel = jnp.stack(
+            [ij_gather(cls_in[c], i_idx, j) for c in range(4)], axis=0
+        )  # (4, n)
+        acc = jnp.logaddexp(
+            acc, jax.nn.logsumexp(it + in_sel[icls], axis=0)
+        )
+        # multiloop branch entry (lut includes b + terminal + mismatch)
+        acc = jnp.logaddexp(acc, ij_gather(L["ml_stem"], i_idx, j) + om1_row)
         Ob = Ob.at[D].set(acc)
 
         return (Ob, Om1, Om, Om2), None
@@ -311,22 +370,32 @@ def _register(params: EnergyParams) -> str:
 
     h = hashlib.sha1()
     for f in (
-        params.stack, params.pair_bonus, params.hairpin_init,
-        params.hairpin_slope, params.bulge_init, params.bulge_slope,
-        params.interior_init, params.interior_slope, params.interior_asym,
+        params.stack, params.pair_bonus, params.terminal,
+        params.hairpin_len, params.bulge_len, params.interior_len, params.lxc,
+        params.mismatch_h, params.mismatch_i, params.mismatch_i1n,
+        params.mismatch_i23, params.mismatch_m, params.mismatch_e,
+        params.dangle5, params.dangle3,
+        params.int11, params.int21, params.int22,
+        params.ninio, params.ninio_max,
         params.ml_close, params.ml_branch, params.ml_unpaired,
         params.max_interior, params.min_hairpin,
+        params.no_gu, params.no_closing_gu, params.no_lonely_pairs,
     ):
-        h.update(np.asarray(f, np.float64).tobytes())
+        h.update(np.nan_to_num(
+            np.asarray(f, np.float64), neginf=-1e300
+        ).tobytes())
+    for seq in sorted(params.special_hairpins):
+        h.update(seq.encode())
+        h.update(np.float64(params.special_hairpins[seq]).tobytes())
     key = h.hexdigest()
     _PARAMS_REGISTRY.setdefault(key, params)
     return key
 
 
-def _prep(params: EnergyParams, n: int, dtype):
-    hp_vec = jnp.asarray(hairpin_score(params, np.arange(max(n, 4))), dtype)
-    ia, ib, ipen = _interior_offsets(params)
-    return hp_vec, jnp.asarray(ia), jnp.asarray(ib), jnp.asarray(ipen, dtype)
+def _prep(params: EnergyParams, dtype):
+    ia, ib, ipen, icls = _interior_offsets(params)
+    return (jnp.asarray(ia), jnp.asarray(ib), jnp.asarray(ipen, dtype),
+            jnp.asarray(icls))
 
 
 def mccaskill_logZ(
@@ -340,13 +409,12 @@ def mccaskill_logZ(
     """Log partition function of a single sequence (codes in A,C,G,U=0..3)."""
     params = params or default_params()
     codes = jnp.asarray(seq_codes, jnp.int32)
-    n = codes.shape[0]
-    length = n if length is None else length
-    hp_vec, ia, ib, ipen = _prep(params, n, dtype)
+    length = codes.shape[0] if length is None else length
+    ia, ib, ipen, icls = _prep(params, dtype)
     key = _register(params)
     *_, logZ = _inside(codes, jnp.asarray(length), key,
                        None if w_extra is None else jnp.asarray(w_extra, dtype),
-                       hp_vec, ia, ib, ipen)
+                       ia, ib, ipen, icls, jnp.zeros((), dtype))
     return float(logZ)
 
 
@@ -365,17 +433,17 @@ def mccaskill_bpp(
     """
     params = params or default_params()
     codes = jnp.asarray(seq_codes, jnp.int32)
-    n = codes.shape[0]
-    length = n if length is None else length
-    hp_vec, ia, ib, ipen = _prep(params, n, dtype)
+    length = codes.shape[0] if length is None else length
+    ia, ib, ipen, icls = _prep(params, dtype)
     key = _register(params)
     we = None if w_extra is None else jnp.asarray(w_extra, dtype)
-    Qb, Qm1, Qm, Qm2, ql, logZ = _inside(
-        codes, jnp.asarray(length), key, we, hp_vec, ia, ib, ipen
+    Qb, QbE, Qm1, Qm, Qm2, ql, logZ = _inside(
+        codes, jnp.asarray(length), key, we, ia, ib, ipen, icls,
+        jnp.zeros((), dtype),
     )
     bpp = _outside(
-        codes, jnp.asarray(length), key, we, hp_vec, ia, ib, ipen,
-        Qb, Qm1, Qm, Qm2, ql, logZ,
+        codes, jnp.asarray(length), key, we, ia, ib, ipen, icls,
+        Qb, QbE, Qm1, Qm, Qm2, ql, logZ,
     )
     return np.asarray(bpp), float(logZ)
 
@@ -405,8 +473,7 @@ def mccaskill_bpp_batch(
 
         return mccaskill_bpp_batch_scaled(codes_batch, lengths, params)
     codes = jnp.asarray(codes_batch, jnp.int32)
-    n = codes.shape[1]
-    hp_vec, ia, ib, ipen = _prep(params, n, dtype)
+    ia, ib, ipen, icls = _prep(params, dtype)
     key = _register(params)
     lengths = np.asarray(lengths)
 
@@ -414,9 +481,11 @@ def mccaskill_bpp_batch(
     for b in range(codes.shape[0]):
         c = codes[b]
         l = jnp.asarray(int(lengths[b]))
-        Qb, Qm1, Qm, Qm2, ql, logZ = _inside(c, l, key, None, hp_vec, ia, ib, ipen)
-        bpp = _outside(c, l, key, None, hp_vec, ia, ib, ipen,
-                       Qb, Qm1, Qm, Qm2, ql, logZ)
+        Qb, QbE, Qm1, Qm, Qm2, ql, logZ = _inside(
+            c, l, key, None, ia, ib, ipen, icls, jnp.zeros((), dtype)
+        )
+        bpp = _outside(c, l, key, None, ia, ib, ipen, icls,
+                       Qb, QbE, Qm1, Qm, Qm2, ql, logZ)
         pending.append((bpp, logZ))
     bpps = np.stack([np.asarray(b) for b, _ in pending])
     logZs = np.asarray([float(z) for _, z in pending])

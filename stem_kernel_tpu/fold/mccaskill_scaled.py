@@ -1,27 +1,27 @@
 """Scaled linear-domain McCaskill engine — the fast batched TPU path.
 
-Same model and recursions as :mod:`.mccaskill` (the log-space oracle), but
-designed for the machine instead of for numerical convenience:
+Same Vienna-structured model and recursions as :mod:`.mccaskill` (the
+log-space oracle), but designed for the machine instead of for numerical
+convenience:
 
 - **linear (exp) domain with per-span rescaling**: every DP row (one span
   length d across all starts i) is renormalized to max 1.0 and its log scale
   accumulated in ``mu[d]`` — Vienna's global ``pf_scale``
   (/root/reference/common/bpmatrix.cpp:158-165) done exactly, per row, with
   no a-priori estimate needed.  All combining arithmetic is multiply/add.
-- **zero gathers inside the scan**: the log engine's ``_span_gather``
-  (clip+take) lowers to serial gathers that also explode compile time under
-  vmap.  Here every read is a ``dynamic_slice`` out of a reversed row buffer
-  (rows stored at ``n-1-d`` so "all spans below d" is one contiguous slab),
-  a static shift, a small convolution, or a pad-reshape skew.
-- **interior loops as a conv2d**: the (a, b) offset double sum becomes one
-  (C+1, A+1) correlation kernel of exp(loop penalties) applied to the slab
-  of Qb rows d-c — one ``lax.conv_general_dilated`` per step on the MXU.
-- **multiloop split sums as slab reductions**: Qm2's split over t is an
-  elementwise product of two aligned (n, n) slabs (start-layout Qm and
-  end-layout Qm1 shifted by d) contracted over rows with per-row scale
-  factors exp(mu[t-1] + mu[d-t] - p).
-- **batching via vmap**: with no gathers, the whole batch compiles as one
-  program; the per-example Python loop of the log engine disappears.
+- **zero gathers inside the scan**: every read is a ``dynamic_slice`` out of
+  a reversed row buffer (rows stored at ``n-1-d`` so "all spans below d" is
+  one contiguous slab), a static shift, a small convolution, or a
+  pad-reshape skew.  All sequence-dependent energy terms are precomputed
+  span-layout tables (fold.tables LUTs gathered once outside the scan).
+- **interior loops as conv2d, one per Vienna loop class**: the (a, b)
+  offset double sum becomes a (C+1, A+1) correlation kernel of
+  exp(penalties) applied to a slab of class-weighted Qb rows (the inner
+  mismatch factor is folded into the slab when each row is written; the
+  outer factor multiplies the conv output) — ``lax.conv_general_dilated``
+  on the MXU.  Stack / bulge-1 / int11 / int21 / int22 are explicit
+  shifted-row terms with their own LUT rows.
+- **multiloop split sums as slab reductions**; **batching via vmap**.
 
 Scale-correct combining: a row computed at provisional scale p gets
 contributions X̂·exp(mu_X - p); p is the max over all candidate offsets so
@@ -42,26 +42,41 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .params import EnergyParams, default_params, hairpin_score, interior_score
-from .mccaskill import _pair_tables, _span_gather, _PARAMS_REGISTRY, _register
+from .params import EnergyParams, default_params
+from .mccaskill import (
+    _interior_offsets,
+    _span_gather,
+    _PARAMS_REGISTRY,
+    _register,
+)
+from .tables import build_luts
 
 NEG = -1e30
 TINY = 1e-38
 
+# explicit small-loop terms: (lut name, inner span offset, inner start shift)
+_EXPLICIT = (
+    ("bulge1_l", 3, 2), ("bulge1_r", 3, 1),
+    ("int11", 4, 2),
+    ("int21_l", 5, 2), ("int21_r", 5, 3),
+    ("int22", 6, 3),
+)
+_CLS_OUT = ("mm_i_out", "mm_1n_out", "mm_23_out", "term_out")
+_CLS_IN = ("mm_i_in", "mm_1n_in", "mm_23_in", "term_in")
 
-def _interior_kernel(params: EnergyParams) -> np.ndarray:
-    """K2[c, a] = exp(interior/bulge penalty) for offsets a, b=c-a (else 0)."""
-    cmax = params.max_interior + 2
-    k = np.zeros((cmax + 1, cmax), dtype=np.float64)  # a in 1..cmax-1
-    for a in range(1, cmax):
-        for b in range(1, cmax):
-            c = a + b
-            if c > cmax or (a == 1 and b == 1):
-                continue
-            if (a - 1) + (b - 1) > params.max_interior:
-                continue
-            k[c, a] = np.exp(interior_score(params, a - 1, b - 1))
-    return k
+
+def _class_kernels(params: EnergyParams) -> list[np.ndarray]:
+    """One exp(penalty) conv kernel per loop class, K[c, a] with c = a + b.
+
+    Built from the SAME offset classification as the log engine
+    (mccaskill._interior_offsets), so the two engines cover identical terms.
+    """
+    cdim = params.max_interior + 3
+    ks = [np.zeros((cdim, cdim), dtype=np.float64) for _ in range(4)]
+    ia, ib, ipen, icls = _interior_offsets(params)
+    for a, b, pen, cls in zip(ia, ib, ipen, icls):
+        ks[cls][a + b, a] = np.exp(pen)
+    return ks
 
 
 def _shift_left(v: jax.Array, k, width: int) -> jax.Array:
@@ -112,6 +127,46 @@ def _conv_rows(slab: jax.Array, kernel: jax.Array, flip: bool) -> jax.Array:
     return out[0, 0, 0, :n]
 
 
+def _skew_ij_to_span(m: jax.Array, fill: float) -> jax.Array:
+    """[i, j]-layout (n, n) -> span layout S[d, i] = m[i, i+d].
+
+    Pure pad-reshape (no gather): flat index of the padded row-major matrix
+    re-chunked with stride 2n+1 walks the diagonals.
+    """
+    n = m.shape[0]
+    mp = jnp.pad(m, ((0, 0), (0, n)), constant_values=fill)  # (n, 2n)
+    flat = jnp.concatenate([mp.reshape(-1), jnp.full((n,), fill, m.dtype)])
+    sk = flat.reshape(n, 2 * n + 1)  # sk[i, d] = mp[i, i+d]
+    return sk[:, :n].T
+
+
+def _skew_span_to_ij(s: jax.Array, fill: float) -> jax.Array:
+    """Span layout (n, n) -> [i, j]-layout M[i, j] = s[j-i, i] (no gather)."""
+    n = s.shape[0]
+    st = s.T  # st[i, d]
+    cp = jnp.pad(st, ((0, 0), (0, n)), constant_values=fill)  # (n, 2n)
+    flat = cp.reshape(-1)[: n * (2 * n - 1)]
+    sk = flat.reshape(n, 2 * n - 1)  # sk[i, j] = cp[i, j-i]
+    return sk[:, :n]
+
+
+def _span_tables(codes, length, params, w_extra, dt):
+    """All LUTs in span layout ([d, i] = lut[i, i+d]).
+
+    Returns (log tables dict, exp tables dict): log form for things that
+    set row scales (wpair via logQbS, hairpin, ext), exp form (capped) for
+    multiplicative factors.  The layout change is a pad-reshape skew, not a
+    gather — gathers under vmap are the XLA-TPU compile-time killer.
+    """
+    luts = build_luts(codes, length, params, w_extra)
+    logs, exps = {}, {}
+    for k, v in luts.items():
+        s = _skew_ij_to_span(v.astype(dt), NEG)
+        logs[k] = s
+        exps[k] = jnp.exp(jnp.minimum(s, 60.0))
+    return logs, exps
+
+
 @partial(jax.jit, static_argnums=(2,))
 def _inside_scaled(codes, length, params_key, w_extra):
     """Scaled inside pass.  Returns span-layout scaled tables + offsets.
@@ -123,28 +178,14 @@ def _inside_scaled(codes, length, params_key, w_extra):
     n = codes.shape[0]
     dt = jnp.float32
 
-    wpair_log, stack_log = _pair_tables(codes, length, params, w_extra)
+    logs, exps = _span_tables(codes, length, params, w_extra, dt)
+    wpairS = exps["wpair"]
+    hairpinS = logs["hairpin"]  # log form: sets row scale
     i_idx = jnp.arange(n)
-    dgrid = jnp.arange(n)[:, None]
-    # span-layout linear tables (one gather each, outside the scan)
-    wpairS = jnp.exp(
-        jnp.minimum(_span_gather(wpair_log, i_idx[None, :], i_idx[None, :] + dgrid), 60.0)
-    ).astype(dt)
-    stackS = jnp.exp(
-        jnp.minimum(_span_gather(stack_log, i_idx[None, :], i_idx[None, :] + dgrid), 60.0)
-    ).astype(dt)
 
-    hp_sizes = np.arange(n)
-    hp_log_np = np.where(
-        hp_sizes >= params.min_hairpin, hairpin_score(params, hp_sizes), NEG
-    )
-    hp_log = jnp.asarray(hp_log_np, dt)
-
-    k2 = jnp.asarray(_interior_kernel(params), dt)  # (C+1, A)
-    cdim = k2.shape[0]  # C + 1
-    b_lin = jnp.float32(np.exp(params.ml_branch))
+    kernels = [jnp.asarray(k, dt) for k in _class_kernels(params)]
+    cdim = kernels[0].shape[0]
     c_lin = jnp.float32(np.exp(params.ml_unpaired))
-    ab_lin = jnp.float32(np.exp(params.ml_close + params.ml_branch))
     cpow = jnp.asarray(
         np.exp(params.ml_unpaired * np.arange(n, dtype=np.float64)), dt
     )
@@ -153,6 +194,7 @@ def _inside_scaled(codes, length, params_key, w_extra):
     nrev = n + max(n, cdim) + 1  # rev buffers must fit (start, cdim|n) slices
     carry = dict(
         rqb=jnp.zeros((nrev, n), dt),            # rev span Qb rows at n-1-d
+        rqbx=jnp.zeros((4, nrev, n), dt),        # class-weighted Qb shadows
         rqm1e=jnp.zeros((nrev, n), dt),          # rev end-layout Qm1 rows
         qm_tbl=jnp.zeros((n, n), dt),            # start-layout Qm rows
         mu=jnp.full((n,), NEG, dt),
@@ -162,16 +204,24 @@ def _inside_scaled(codes, length, params_key, w_extra):
         qm2_prev2=zrow,
     )
 
+    def row_of(tab, d):
+        return jax.lax.dynamic_slice(tab, (d, 0), (1, n))[0]
+
     def step(carry, d):
         start = n - 1 - d
         t_slab = jax.lax.dynamic_slice(carry["rqb"], (start, 0), (cdim, n))
+        tx_slab = jax.lax.dynamic_slice(
+            carry["rqbx"], (0, start, 0), (4, cdim, n)
+        )
         mu_t = jax.lax.dynamic_slice(carry["mu_rev"], (start,), (cdim,))
         s_slab = jax.lax.dynamic_slice(carry["rqm1e"], (start, 0), (n, n))
         mu_s = jax.lax.dynamic_slice(carry["mu_rev"], (start,), (n,))
         mu_sh = jnp.concatenate([jnp.full((1,), NEG, dt), carry["mu"][:-1]])
 
-        hp_d = hp_log[jnp.clip(d - 1, 0, n - 1)]
-        p = jnp.maximum(jnp.max(mu_sh + mu_s), jnp.maximum(jnp.max(mu_s), hp_d))
+        hp_row = row_of(hairpinS, d)
+        p = jnp.maximum(
+            jnp.maximum(jnp.max(mu_sh + mu_s), jnp.max(mu_s)), jnp.max(hp_row)
+        )
         p = jnp.where(p < -1e29, jnp.float32(0.0), p)
 
         f_t = jnp.exp(mu_t - p)  # (cdim,)
@@ -180,18 +230,22 @@ def _inside_scaled(codes, length, params_key, w_extra):
 
         # ---- Qb row ----
         tf = t_slab * f_t[:, None]
-        hp_term = jnp.exp(hp_d - p)
-        stack_row = jax.lax.dynamic_slice(stackS, (d, 0), (1, n))[0]
-        stack_term = stack_row * _shift_left(tf[2], 1, 1)
-        int_term = _conv_rows(tf, k2, flip=False)
-        close_term = ab_lin * _shift_left(
+        txf = tx_slab * f_t[None, :, None]
+        acc = jnp.exp(hp_row - p)  # hairpin (full lut)
+        acc = acc + row_of(exps["stack"], d) * _shift_left(tf[2], 1, 1)
+        for (name, ds, sh) in _EXPLICIT:
+            acc = acc + row_of(exps[name], d) * _shift_left(tf[ds], sh, sh)
+        for c in range(4):
+            acc = acc + row_of(exps[_CLS_OUT[c]], d) * _conv_rows(
+                txf[c], kernels[c], flip=False
+            )
+        acc = acc + row_of(exps["ml_close"], d) * _shift_left(
             carry["qm2_prev2"] * f_t[2], 1, 1
         )
-        wp_row = jax.lax.dynamic_slice(wpairS, (d, 0), (1, n))[0]
-        qb = wp_row * (hp_term + stack_term + int_term + close_term)
+        qb = row_of(wpairS, d) * acc
 
-        # ---- Qm1 row ----
-        qm1 = c_lin * carry["qm1_prev"] * f_s[1] + b_lin * qb
+        # ---- Qm1 row (ml_stem lut includes b + terminal + mismatch) ----
+        qm1 = c_lin * carry["qm1_prev"] * f_s[1] + row_of(exps["ml_stem"], d) * qb
 
         # ---- split slabs ----
         u_slab = _shift_left(s_slab, d, n)  # row t: Qm1E[d-t] at position i+d
@@ -217,9 +271,15 @@ def _inside_scaled(codes, length, params_key, w_extra):
         qb, qm1, qm, qm2 = qb * inv, qm1 * inv, qm * inv, qm2 * inv
         mu_d = jnp.where(m > 0, p + jnp.log(scale), jnp.float32(NEG))
 
+        qbx = jnp.stack(
+            [qb * row_of(exps[_CLS_IN[c]], d) for c in range(4)], axis=0
+        )
         qm1e = _shift_right(qm1, d, n)
         carry = dict(
             rqb=jax.lax.dynamic_update_slice(carry["rqb"], qb[None], (start, 0)),
+            rqbx=jax.lax.dynamic_update_slice(
+                carry["rqbx"], qbx[:, None], (0, start, 0)
+            ),
             rqm1e=jax.lax.dynamic_update_slice(
                 carry["rqm1e"], qm1e[None], (start, 0)
             ),
@@ -247,11 +307,12 @@ def _inside_scaled(codes, length, params_key, w_extra):
 
     # ---- external chain (log domain; n^2 total, no gathers) ----
     logQbS = jnp.where(Qb > 0, jnp.log(jnp.maximum(Qb, TINY)) + mu[:, None], NEG)
-    # end-layout transpose: QbE_T[j, t] = log Qb(span t, end j) = logQbS[t, j-t]
+    logQbE = jnp.maximum(logQbS + logs["ext_stem"], NEG)  # exterior-weighted
+    # end-layout transpose: QbE_T[j, t] = log QbE(span t, end j)
     m_rows = n
-    sk = jnp.pad(logQbS, ((0, 0), (0, m_rows)), constant_values=NEG)
+    sk = jnp.pad(logQbE, ((0, 0), (0, m_rows)), constant_values=NEG)
     flat = sk.reshape(-1)[: m_rows * (n + m_rows - 1)]
-    qbe = flat.reshape(m_rows, n + m_rows - 1)[:, :n]  # qbe[t, j] = logQbS[t, j-t]
+    qbe = flat.reshape(m_rows, n + m_rows - 1)[:, :n]  # qbe[t, j] = logQbE[t, j-t]
     qbe_T = qbe.T  # (j, t)
 
     def ql_step(c, j):
@@ -272,7 +333,7 @@ def _inside_scaled(codes, length, params_key, w_extra):
     logZ = qlv[length]
 
     return dict(Qb=Qb, Qm1=Qm1, Qm=Qm, Qm2=Qm2, mu=mu, logQbS=logQbS,
-                qlv=qlv, logZ=logZ)
+                logQbE=logQbE, qlv=qlv, logZ=logZ)
 
 
 @partial(jax.jit, static_argnums=(2,))
@@ -282,38 +343,36 @@ def _outside_scaled(codes, length, params_key, w_extra, ins):
     n = codes.shape[0]
     dt = jnp.float32
 
-    wpair_log, stack_log = _pair_tables(codes, length, params, w_extra)
+    logs, exps = _span_tables(codes, length, params, w_extra, dt)
     i_idx = jnp.arange(n)
-    dgrid = jnp.arange(n)[:, None]
-    wpairS = jnp.exp(
-        jnp.minimum(_span_gather(wpair_log, i_idx[None, :], i_idx[None, :] + dgrid), 60.0)
-    ).astype(dt)
-    stackS = jnp.exp(
-        jnp.minimum(_span_gather(stack_log, i_idx[None, :], i_idx[None, :] + dgrid), 60.0)
-    ).astype(dt)
-    wpairS_pad = jnp.pad(wpairS, ((0, cpad_rows := 2), (0, 0)))
-    stackS_pad = jnp.pad(stackS, ((0, cpad_rows), (0, 0)))
 
-    k2 = jnp.asarray(_interior_kernel(params), dt)
-    cdim = k2.shape[0]
-    wpairS_cpad = jnp.pad(wpairS, ((0, cdim), (0, 0)))
+    kernels = [jnp.asarray(k, dt) for k in _class_kernels(params)]
+    cdim = kernels[0].shape[0]
+    PAD = max(cdim, 8)  # row padding for span-(D+k) reads, k <= 6 or cdim
 
-    b_lin = jnp.float32(np.exp(params.ml_branch))
+    def padded(name):
+        return jnp.pad(exps[name], ((0, PAD), (0, 0)))
+
+    wpadS = padded("wpair")
+    stkpadS = padded("stack")
+    mlclosepadS = padded("ml_close")
+    expl_pads = {name: padded(name) for (name, _, _) in _EXPLICIT}
+    clsout_pads = [padded(nm) for nm in _CLS_OUT]
+
     c_lin = jnp.float32(np.exp(params.ml_unpaired))
-    ab_lin = jnp.float32(np.exp(params.ml_close + params.ml_branch))
     cpow = jnp.asarray(
         np.exp(params.ml_unpaired * np.arange(n, dtype=np.float64)), dt
     )
 
-    Qb, Qm1, Qm, mu = ins["Qb"], ins["Qm1"], ins["Qm"], ins["mu"]
-    logQbS, qlv, logZ = ins["logQbS"], ins["qlv"], ins["logZ"]
+    Qm1, Qm, mu = ins["Qm1"], ins["Qm"], ins["mu"]
+    logQbE, qlv, logZ = ins["logQbE"], ins["qlv"], ins["logZ"]
 
     # ---- OQl chain (log domain, descending j) ----
-    logQbS_T = logQbS.T  # [i, t]
+    logQbE_T = logQbE.T  # [i, t]
     oql_pad0 = jnp.full((2 * n,), NEG, dt)
 
     def oql_step(oql_pad, j):
-        row = logQbS_T[jnp.clip(j + 1, 0, n - 1)]  # over t: Qb(start j+1, span t)
+        row = logQbE_T[jnp.clip(j + 1, 0, n - 1)]  # over t: QbE(start j+1, span t)
         win = jax.lax.dynamic_slice(oql_pad, (j + 1,), (n,))  # oql[j+1+t]
         paired = jax.nn.logsumexp(row + win)
         paired = jnp.where(j + 1 < n, paired, jnp.float32(NEG))
@@ -332,7 +391,7 @@ def _outside_scaled(codes, length, params_key, w_extra, ins):
     ql_shift = jnp.concatenate([jnp.zeros((1,), dt), qlv[1:n]])  # Ql[i-1]
 
     zrow = jnp.zeros((n,), dt)
-    nbuf = 2 * n + cdim + 2  # covers slices (D, n) and (D, cdim) for any D < n
+    nbuf = 2 * n + cdim + 8  # covers slices (D+k, n|cdim) for any D < n
     carry = dict(
         ob_pad=jnp.zeros((nbuf, n), dt),
         om2_pad=jnp.zeros((nbuf, n), dt),
@@ -343,13 +402,16 @@ def _outside_scaled(codes, length, params_key, w_extra, ins):
     mu_sh = jnp.concatenate([jnp.full((1,), NEG, dt), mu[:-1]])  # mu[t-1]
     qm_sh = jnp.concatenate([jnp.zeros((1, n), dt), Qm[:-1]], axis=0)  # Qm[t-1]
 
+    def row_at(tab, D):
+        return jax.lax.dynamic_slice(tab, (D, 0), (1, n))[0]
+
     def step(carry, D):
         om_off = carry["om"]
         om_up = jax.lax.dynamic_slice(om_off, (D,), (n,))       # om[D+t]
         om_up1 = jax.lax.dynamic_slice(om_off, (D + 1,), (n,))  # om[D+1+t]
         oql_sh = _shift_left(oql_pad[:n], D, n)  # oql[i+D] (NEG pad -> use where)
         oql_sh = jnp.where(i_idx + D < n, oql_sh, jnp.float32(NEG))
-        ext_log = ql_shift + oql_sh
+        ext_log = ql_shift + oql_sh + row_at(logs["ext_stem"], D)
 
         p = jnp.maximum(
             jnp.maximum(jnp.max(mu_sh + om_up1), jnp.max(om_up1)),
@@ -366,10 +428,11 @@ def _outside_scaled(codes, length, params_key, w_extra, ins):
         om_row = jnp.sum(qm1_sh * om2_slab * f[:, None], axis=0)
 
         # ---- Om2[D]: multiloop close + Om flow ----
-        ob2 = jax.lax.dynamic_slice(carry["ob_pad"], (D + 2, 0), (1, n))[0]
-        wp2 = jax.lax.dynamic_slice(wpairS_pad, (D + 2, 0), (1, n))[0]
-        close = ab_lin * _shift_right(
-            ob2 * wp2 * jnp.exp(om_off[D + 2] - p), 1, 1
+        ob2 = row_at(carry["ob_pad"], D + 2)
+        wp2 = row_at(wpadS, D + 2)
+        close = _shift_right(
+            ob2 * wp2 * row_at(mlclosepadS, D + 2) * jnp.exp(om_off[D + 2] - p),
+            1, 1,
         )
         om2_row = close + om_row
 
@@ -387,14 +450,30 @@ def _outside_scaled(codes, length, params_key, w_extra, ins):
 
         # ---- Ob[D] ----
         ext = jnp.exp(jnp.minimum(ext_log - p, 60.0))
-        stk2 = jax.lax.dynamic_slice(stackS_pad, (D + 2, 0), (1, n))[0]
-        stack_term = _shift_right(ob2 * wp2 * stk2 * jnp.exp(om_off[D + 2] - p), 1, 1)
+        stack_term = _shift_right(
+            ob2 * wp2 * row_at(stkpadS, D + 2) * jnp.exp(om_off[D + 2] - p),
+            1, 1,
+        )
+        acc = ext + stack_term
+        for (name, ds, sh) in _EXPLICIT:
+            obk = row_at(carry["ob_pad"], D + ds)
+            wpk = row_at(wpadS, D + ds)
+            lk = row_at(expl_pads[name], D + ds)
+            acc = acc + _shift_right(
+                obk * wpk * lk * jnp.exp(om_off[D + ds] - p), sh, sh
+            )
+        # interior classes: slab rows c = Ob[D+c]*wpair[D+c]*mm_out[D+c]
         ob_cslab = jax.lax.dynamic_slice(carry["ob_pad"], (D, 0), (cdim, n))
-        wp_cslab = jax.lax.dynamic_slice(wpairS_cpad, (D, 0), (cdim, n))
+        wp_cslab = jax.lax.dynamic_slice(wpadS, (D, 0), (cdim, n))
         f_c = jnp.exp(jax.lax.dynamic_slice(om_off, (D,), (cdim,)) - p)
-        slab_ob = ob_cslab * wp_cslab * f_c[:, None]
-        int_term = _conv_rows(slab_ob, k2, flip=True)
-        ob_row = ext + stack_term + int_term + b_lin * om1_row
+        for c in range(4):
+            mo_cslab = jax.lax.dynamic_slice(clsout_pads[c], (D, 0), (cdim, n))
+            slab = ob_cslab * wp_cslab * mo_cslab * f_c[:, None]
+            acc = acc + row_at(exps[_CLS_IN[c]], D) * _conv_rows(
+                slab, kernels[c], flip=True
+            )
+        # multiloop branch entry
+        ob_row = acc + row_at(exps["ml_stem"], D) * om1_row
 
         # ---- joint rescale ----
         m = jnp.maximum(
@@ -431,10 +510,10 @@ def _outside_scaled(codes, length, params_key, w_extra, ins):
 
     logOb = jnp.where(Ob > 0, jnp.log(jnp.maximum(Ob, TINY)) + om[:, None], NEG)
     logQb = ins["logQbS"]
-    # bpp in [i, j] layout: one gather outside the scan
+    # bpp in [i, j] layout: inverse skew (no gather)
     djj = i_idx[None, :] - i_idx[:, None]
-    lq = _span_gather(logQb, djj, jnp.broadcast_to(i_idx[:, None], (n, n)))
-    lo = _span_gather(logOb, djj, jnp.broadcast_to(i_idx[:, None], (n, n)))
+    lq = _skew_span_to_ij(logQb, NEG)
+    lo = _skew_span_to_ij(logOb, NEG)
     bpp = jnp.where(djj > 0, jnp.exp(jnp.minimum(lq + lo - logZ, 0.0)), 0.0)
     return bpp
 
@@ -456,16 +535,20 @@ def _bpp_vmapped(codes, lengths, params_key, w_extra):
 MAX_FOLD_BATCH = 128
 
 
-def _batch_bucket(b: int) -> int:
-    """Geometric batch buckets (8, 16, ..., MAX_FOLD_BATCH): recompiles are
-    bounded by O(log B) variants instead of one per dataset size.  The cap
-    bounds HBM too — the inside pass stacks O(L) span slices of (B, L, L)
-    tables, so an uncapped batch axis scales device memory with corpus size;
-    larger corpora are folded in MAX_FOLD_BATCH chunks."""
-    n = 8
-    while n < b and n < MAX_FOLD_BATCH:
-        n *= 2
-    return n
+def _batch_bucket(b: int, n: int = 128) -> int:
+    """Geometric batch buckets (8, 16, ..., cap): recompiles are bounded by
+    O(log B) variants instead of one per dataset size.  The cap bounds HBM —
+    per-example device memory scales as O(n^2) LUTs + scan buffers, so the
+    cap shrinks quadratically with sequence length (128 at n<=128 down to 8
+    at n>=512); larger corpora are folded in cap-sized chunks."""
+    cap = MAX_FOLD_BATCH
+    if n > 128:
+        cap = int(max(8, MAX_FOLD_BATCH * (128 / n) ** 2))
+        cap = 1 << (cap.bit_length() - 1)  # round down to a power of two
+    out = 8
+    while out < b and out < cap:
+        out *= 2
+    return out
 
 
 def mccaskill_bpp_batch_scaled(
@@ -484,27 +567,40 @@ def mccaskill_bpp_batch_scaled(
     params = params or default_params()
     key = _register(params)
     codes_np = np.asarray(codes_batch)
-    b = codes_np.shape[0]
-    if b > MAX_FOLD_BATCH:
-        # chunked dispatch: async-queue every chunk, then fetch (device work
-        # and tunnel round trips overlap across chunks)
-        pending = []
-        for s in range(0, b, MAX_FOLD_BATCH):
-            chunk = codes_np[s : s + MAX_FOLD_BATCH]
-            lens_c = np.asarray(lengths)[s : s + MAX_FOLD_BATCH]
-            we_c = None if w_extra is None else np.asarray(w_extra)[s : s + MAX_FOLD_BATCH]
+    b, n = codes_np.shape
+    cap = _batch_bucket(1 << 30, n)  # length-dependent chunk cap
+    if b > cap:
+        # bounded in-flight chunked dispatch: keep at most MAX_PENDING chunk
+        # results queued on device before fetching the oldest, so peak HBM
+        # is capped while dispatch, compute, and fetch still overlap.
+        MAX_PENDING = 2
+        pending: list = []
+        done_b: list[np.ndarray] = []
+        done_z: list[np.ndarray] = []
+
+        def drain_one():
+            (pb, pz), pn = pending.pop(0)
+            done_b.append(np.asarray(pb[:pn]))
+            done_z.append(np.asarray(pz[:pn]))
+
+        for s in range(0, b, cap):
+            chunk = codes_np[s : s + cap]
+            lens_c = np.asarray(lengths)[s : s + cap]
+            we_c = None if w_extra is None else np.asarray(w_extra)[s : s + cap]
             pending.append(_bpp_dispatch(chunk, lens_c, key, we_c))
-        bpps = np.concatenate([np.asarray(p[0][:n]) for p, n in pending])
-        logZs = np.concatenate([np.asarray(p[1][:n]) for p, n in pending])
-        return bpps, logZs
-    (bpp, logZ), n = _bpp_dispatch(codes_np, np.asarray(lengths), key, w_extra)
-    return np.asarray(bpp[:n]), np.asarray(logZ[:n])
+            if len(pending) > MAX_PENDING:
+                drain_one()
+        while pending:
+            drain_one()
+        return np.concatenate(done_b), np.concatenate(done_z)
+    (bpp, logZ), nb = _bpp_dispatch(codes_np, np.asarray(lengths), key, w_extra)
+    return np.asarray(bpp[:nb]), np.asarray(logZ[:nb])
 
 
 def _bpp_dispatch(codes_np, lens_np, key, w_extra):
     """Pad one chunk to its batch bucket and dispatch (async)."""
-    b = codes_np.shape[0]
-    b_pad = _batch_bucket(b)
+    b, n = codes_np.shape
+    b_pad = _batch_bucket(b, n)
     codes_np = np.pad(codes_np, ((0, b_pad - b), (0, 0)))
     lens_p = np.pad(lens_np, (0, b_pad - b))
     codes = jnp.asarray(codes_np, jnp.int32)

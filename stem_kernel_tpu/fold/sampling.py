@@ -15,8 +15,19 @@ from __future__ import annotations
 import numpy as np
 
 from ..io.alphabet import encode
-from .mccaskill import _inside, _prep, _register
-from .params import EnergyParams, default_params, hairpin_score, interior_score
+from .mccaskill import _inside, _interior_offsets, _prep, _register
+from .params import EnergyParams, default_params
+from .tables import build_luts
+
+# explicit small-loop lut terms: (name, inner span offset, inner start shift)
+_EXPLICIT = (
+    ("bulge1_l", 3, 2), ("bulge1_r", 3, 1),
+    ("int11", 4, 2),
+    ("int21_l", 5, 2), ("int21_r", 5, 3),
+    ("int22", 6, 3),
+)
+_CLS_OUT = ("mm_i_out", "mm_1n_out", "mm_23_out", "term_out")
+_CLS_IN = ("mm_i_in", "mm_1n_in", "mm_23_in", "term_in")
 
 
 def _softmax_choice(rng: np.random.Generator, logw: np.ndarray) -> int:
@@ -33,11 +44,11 @@ class _Sampler:
         self.params = params
         n = len(codes)
         self.n = n
-        hp_vec, ia, ib, ipen = _prep(params, n, jnp.float64)
+        ia, ib, ipen, icls = _prep(params, jnp.float64)
         key = _register(params)
-        Qb, Qm1, Qm, Qm2, ql, logZ = _inside(
+        Qb, QbE, Qm1, Qm, Qm2, ql, logZ = _inside(
             jnp.asarray(codes, jnp.int32), jnp.asarray(n), key, None,
-            hp_vec, ia, ib, ipen,
+            ia, ib, ipen, icls, jnp.zeros((), jnp.float64),
         )
         self.Qb = np.asarray(Qb)  # span layout [d, i]
         self.Qm1 = np.asarray(Qm1)
@@ -48,17 +59,13 @@ class _Sampler:
         self.ia = np.asarray(ia)
         self.ib = np.asarray(ib)
         self.ipen = np.asarray(ipen)
-        from ..fold.mccaskill import _pair_tables
-        import jax.numpy as jnp2
-
-        wpair, stacklut = _pair_tables(
-            jnp2.asarray(codes, jnp2.int32), jnp2.asarray(n), params, None
-        )
-        self.wpair = np.asarray(wpair)
-        self.stacklut = np.asarray(stacklut)
-        self.hp = np.asarray(
-            [float(hairpin_score(params, max(d, 3))) for d in range(n + 1)]
-        )
+        self.icls = np.asarray(icls)
+        self.L = {
+            k: np.asarray(v)
+            for k, v in build_luts(
+                jnp.asarray(codes, jnp.int32), jnp.asarray(n), params, None
+            ).items()
+        }
 
     def qb(self, i, j):
         return self.Qb[j - i, i] if 0 <= j - i < self.n else -1e30
@@ -69,12 +76,12 @@ class _Sampler:
         return pairs
 
     def _sample_exterior(self, rng, j, pairs):
-        # Ql[j] = Ql[j-1] ⊕ (+)_k Ql[k-1] + Qb[k, j]
+        # Ql[j] = Ql[j-1] ⊕ (+)_k Ql[k-1] + Qb[k, j] + ext_stem[k, j]
         while j >= 0:
             opts = [self.ql[j]]  # j unpaired -> continue at j-1
             ks = []
             for k in range(0, j - 3):
-                w = self.ql[k] + self.qb(k, j)
+                w = self.ql[k] + self.qb(k, j) + self.L["ext_stem"][k, j]
                 if w > -1e29:
                     opts.append(w)
                     ks.append(k)
@@ -89,29 +96,37 @@ class _Sampler:
     def _sample_pair(self, rng, i, j, pairs):
         pairs.append((i, j))
         d = j - i
-        params = self.params
+        L = self.L
         opts = []
         acts = []
-        # hairpin
-        if d - 1 >= params.min_hairpin:
-            opts.append(self.hp[d - 1])
+        # hairpin (full lut incl. mismatch/terminal/specials/gates)
+        if L["hairpin"][i, j] > -1e29:
+            opts.append(float(L["hairpin"][i, j]))
             acts.append(("hp",))
         # stack
-        w = self.stacklut[i, j] + self.qb(i + 1, j - 1)
+        w = L["stack"][i, j] + self.qb(i + 1, j - 1)
         if w > -1e29:
             opts.append(w)
             acts.append(("il", i + 1, j - 1))
-        # interior
-        for a, b, pen in zip(self.ia, self.ib, self.ipen):
+        # explicit small loops (bulge-1, int11, int21, int22)
+        for name, ds, sh in _EXPLICIT:
+            k, l = i + sh, j - (ds - sh)
+            w = L[name][i, j] + self.qb(k, l)
+            if w > -1e29:
+                opts.append(w)
+                acts.append(("il", k, l))
+        # loop-class offsets (generic / 1xn / 2x3 / bulges >= 2)
+        for a, b, pen, cls in zip(self.ia, self.ib, self.ipen, self.icls):
             k, l = i + int(a), j - int(b)
             if k < l:
-                w = pen + self.qb(k, l)
+                w = (pen + L[_CLS_OUT[cls]][i, j]
+                     + L[_CLS_IN[cls]][k, l] + self.qb(k, l))
                 if w > -1e29:
                     opts.append(w)
                     acts.append(("il", k, l))
-        # multiloop
+        # multiloop (close lut includes a + b + terminal + mismatch + gate)
         if d - 2 >= 0:
-            w = params.ml_close + params.ml_branch + (
+            w = L["ml_close"][i, j] + (
                 self.Qm2[d - 2, i + 1] if d - 2 < self.n else -1e30
             )
             if w > -1e29:
@@ -155,11 +170,11 @@ class _Sampler:
             self._sample_qm1(rng, act[1], j, pairs)
 
     def _sample_qm1(self, rng, k, j, pairs):
-        # Qm1[k,j] = b + (+)_l Qb[k,l] + c*(j-l)
+        # Qm1[k,j] = (+)_l ml_stem[k,l] + Qb[k,l] + c*(j-l)
         c = self.params.ml_unpaired
         opts, ls = [], []
         for l in range(k + 1, j + 1):
-            w = self.qb(k, l) + c * (j - l)
+            w = self.qb(k, l) + self.L["ml_stem"][k, l] + c * (j - l)
             if w > -1e29:
                 opts.append(w)
                 ls.append(l)

