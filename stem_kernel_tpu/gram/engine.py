@@ -5,11 +5,16 @@ TPU-native redesign of the reference's KernelMatrix engine
 
 - the upper-triangle pair loop with round-robin thread/MPI work splitting
   (kernel_matrix.cpp:21-57, 199-261) becomes a flat pair-index array evaluated
-  in fixed-size batches by ONE jitted batched kernel function, with the batch
-  axis sharded across the device mesh (XLA partitions the work; no
-  per-pair dispatch);
-- all example features live on device once (stacked padded tensors); pair
-  batches are gathers by index, so no host->device traffic scales with N^2;
+  by SLAB-sized device programs: all pair indices are transferred to device
+  once, each dispatch runs `slab_batches` kernel batches inside one jitted
+  program (`lax.scan` over batches, gathers on device), and only the (SLAB,)
+  result vector crosses back to the host.  Host round trips scale as
+  n_pairs / (slab_batches * batch_size), not n_pairs / batch_size;
+- with a mesh, each batch is `shard_map`-ped over the pair axis: every device
+  gathers its own feature slice and runs the kernel on batch_size/n_devices
+  pairs (the reference's MPI rank-striding, as SPMD over ICI);
+- all example features live on device once (stacked padded tensors,
+  replicated over the mesh); no host->device traffic scales with N^2;
 - cosine normalization K'ij = Kij / sqrt(Kii*Kjj) (kernel_matrix.cpp:560-571);
 - diagonal-only and test-rows-vs-train passes, including restriction to
   support-vector columns (CalcDiagonal / CalcTestMatrix,
@@ -18,7 +23,6 @@ TPU-native redesign of the reference's KernelMatrix engine
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Mapping
 
 import jax
@@ -30,9 +34,8 @@ Features = Mapping[str, jax.Array]
 # whose arrays all share a leading batch axis.
 KernelFn = Callable[[Features, Features], jax.Array]
 
-
-def _stack_on_device(features: Mapping[str, np.ndarray]) -> dict[str, jax.Array]:
-    return {k: jnp.asarray(v) for k, v in features.items()}
+# (kernel_fn, batch_size, slab_batches, mesh) -> jitted slab program
+_SLAB_FN_CACHE: dict = {}
 
 
 class PairKernelEngine:
@@ -49,7 +52,7 @@ class PairKernelEngine:
         features: Mapping[str, np.ndarray],
         *,
         batch_size: int = 512,
-        chunk: int = 8,
+        slab_batches: int = 16,
         mesh=None,
         log_values: bool = False,
     ) -> None:
@@ -57,125 +60,163 @@ class PairKernelEngine:
         normalizes in log space — exp(Lij - (Lii + Ljj)/2) — which is exact
         and overflow-safe for kernels whose raw values exceed float range."""
         self.kernel_fn = kernel_fn
-        self.features = _stack_on_device(features)
-        self.n = next(iter(self.features.values())).shape[0]
         self.mesh = mesh
         self.log_values = log_values
         if mesh is not None:
             n_dev = mesh.size
             batch_size = max(n_dev, (batch_size // n_dev) * n_dev)
         self.batch_size = batch_size
-        self._chunk = max(1, chunk)
-        self._eval = jax.jit(self._eval_impl)
-        self._eval_many = jax.jit(self._eval_many_impl)
+        self._slab_batches = max(1, slab_batches)
+        self.features = self._stack(features)
+        self.n = next(iter(self.features.values())).shape[0]
+        self._slab_fns: dict[int, Callable] = {}
 
-    def _eval_impl(self, feats_x, feats_y, ix, iy):
-        x = {k: jnp.take(v, ix, axis=0) for k, v in feats_x.items()}
-        y = {k: jnp.take(v, iy, axis=0) for k, v in feats_y.items()}
-        return self.kernel_fn(x, y)
+    # ---------------------------------------------------------------- device
 
-    def _eval_many_impl(self, feats_x, feats_y, ix2, iy2):
-        """Evaluate CHUNK batches in one device program.
+    def _stack(self, features: Mapping[str, np.ndarray]) -> dict[str, jax.Array]:
+        """Features onto device, replicated over the mesh when one is set."""
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in features.items()}
+        from ..parallel.mesh import replicate
 
-        ``ix2``/``iy2`` are (CHUNK, batch_size).  One dispatch covers CHUNK
-        batches, amortizing host->device round trips (the TPU sits behind a
-        ~30 ms tunnel; per-batch dispatch was the Gram-stage bottleneck).
+        return replicate(self.mesh, {k: np.asarray(v) for k, v in features.items()})
+
+    def _slab_fn(self, slab_batches: int) -> Callable:
+        """Jitted program: evaluate ``slab_batches`` consecutive batches.
+
+        Signature: (feats_x, feats_y, ix_all, iy_all, start) -> (SLAB,) where
+        ix_all/iy_all are the FULL device-resident pair lists and ``start`` is
+        a traced scalar offset — one compiled program serves every slab.
+
+        Memoized at module level keyed by (kernel_fn, batch, slab, mesh): a
+        fresh engine over the same kernel reuses the trace (re-tracing an
+        identical program costs ~0.25 s per engine otherwise — it dominated
+        short predict runs).
         """
-        return jax.lax.map(
-            lambda ij: self._eval_impl(feats_x, feats_y, ij[0], ij[1]),
-            (ix2, iy2),
-        )
+        try:
+            key = (self.kernel_fn, self.batch_size, slab_batches, self.mesh)
+            hash(key)
+        except TypeError:
+            key = None
+        cache = _SLAB_FN_CACHE if key is not None else self._slab_fns
+        if key is None:
+            key = slab_batches
+        fn = cache.get(key)
+        if fn is not None:
+            return fn
+        bs = self.batch_size
+        kernel_fn = self.kernel_fn
+
+        def batch_eval(feats_x, feats_y, bix, biy):
+            x = {k: jnp.take(v, bix, axis=0) for k, v in feats_x.items()}
+            y = {k: jnp.take(v, biy, axis=0) for k, v in feats_y.items()}
+            return kernel_fn(x, y)
+
+        if self.mesh is not None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.mesh import PAIR_AXIS
+
+            batch_eval = shard_map(
+                batch_eval,
+                mesh=self.mesh,
+                in_specs=(P(), P(), P(PAIR_AXIS), P(PAIR_AXIS)),
+                out_specs=P(PAIR_AXIS),
+                check_rep=False,
+            )
+
+        def slab(feats_x, feats_y, ix_all, iy_all, start):
+            ix = jax.lax.dynamic_slice_in_dim(ix_all, start, slab_batches * bs)
+            iy = jax.lax.dynamic_slice_in_dim(iy_all, start, slab_batches * bs)
+            ix = ix.reshape(slab_batches, bs)
+            iy = iy.reshape(slab_batches, bs)
+            vals = jax.lax.map(
+                lambda ij: batch_eval(feats_x, feats_y, ij[0], ij[1]), (ix, iy)
+            )
+            return vals.reshape(-1)
+
+        fn = jax.jit(slab)
+        cache[key] = fn
+        return fn
+
+    # ---------------------------------------------------------------- driver
 
     def _run_pairs(
-        self, ix: np.ndarray, iy: np.ndarray, feats_y=None, checkpoint=None
+        self,
+        ix: np.ndarray,
+        iy: np.ndarray,
+        feats_x=None,
+        feats_y=None,
+        checkpoint=None,
     ) -> np.ndarray:
-        """Evaluate the kernel on pair lists, batching and (optionally) sharding.
+        """Evaluate the kernel on pair lists, slab by slab.
 
-        With ``checkpoint`` (a gram.checkpoint.TileCheckpoint), completed
-        batches are loaded instead of recomputed and fresh batches are stored
-        durably as soon as they finish.
+        With ``checkpoint`` (a gram.checkpoint.TileCheckpoint at slab
+        granularity), completed slabs are loaded instead of recomputed and
+        fresh slabs are stored durably as soon as they land.
         """
+        feats_x = self.features if feats_x is None else feats_x
         feats_y = self.features if feats_y is None else feats_y
         n_pairs = len(ix)
         bs = self.batch_size
         n_batches = -(-n_pairs // bs)
-        pad = n_batches * bs - n_pairs
-        ix_p = np.concatenate([ix, np.zeros(pad, ix.dtype)])
-        iy_p = np.concatenate([iy, np.zeros(pad, iy.dtype)])
-        out = np.empty(n_batches * bs, dtype=np.float32)
-        # dispatch every batch before fetching any result: JAX's async
-        # dispatch queues the device work so compute, host transfers, and
-        # (over a TPU tunnel) round-trip latency all overlap across batches
-        # instead of serializing dispatch->fetch per batch.  On top of that,
-        # full runs of CHUNK consecutive batches go down in ONE device
-        # program (lax.map inside _eval_many), so the number of round trips
-        # scales as n_batches/CHUNK rather than n_batches.
-        CHUNK = self._chunk
-        pending: list[tuple[int, int, object]] = []
-        b = 0
-        while b < n_batches:
-            if checkpoint is not None and checkpoint.is_done(b):
-                vals = checkpoint.load_batch(b)
-                out[b * bs : b * bs + len(vals)] = vals
-                b += 1
-                continue
-            span = 1
-            if checkpoint is None:
-                span = min(CHUNK, n_batches - b)
-            else:
-                while (
-                    span < CHUNK
-                    and b + span < n_batches
-                    and not checkpoint.is_done(b + span)
-                ):
-                    span += 1
-            if span == CHUNK:
-                bix = jnp.asarray(ix_p[b * bs : (b + CHUNK) * bs].reshape(CHUNK, bs))
-                biy = jnp.asarray(iy_p[b * bs : (b + CHUNK) * bs].reshape(CHUNK, bs))
-                if self.mesh is not None:
-                    bix = self._shard_chunk(bix)
-                    biy = self._shard_chunk(biy)
-                pending.append((b, CHUNK, self._eval_many(self.features, feats_y, bix, biy)))
-                b += CHUNK
-                continue
-            for s in range(span):
-                bb = b + s
-                bix = jnp.asarray(ix_p[bb * bs : (bb + 1) * bs])
-                biy = jnp.asarray(iy_p[bb * bs : (bb + 1) * bs])
-                if self.mesh is not None:
-                    from ..parallel.mesh import shard_pairs
+        # Small problems use a smaller slab so padding waste stays O(bs).
+        sb = min(self._slab_batches, max(1, n_batches))
+        slab_pairs = sb * bs
+        n_slabs = -(-n_pairs // slab_pairs)
+        pad = n_slabs * slab_pairs - n_pairs
+        ix_all = jnp.asarray(np.concatenate([ix, np.zeros(pad, ix.dtype)]))
+        iy_all = jnp.asarray(np.concatenate([iy, np.zeros(pad, iy.dtype)]))
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate
 
-                    bix = shard_pairs(self.mesh, bix)
-                    biy = shard_pairs(self.mesh, biy)
-                pending.append((bb, 1, self._eval(self.features, feats_y, bix, biy)))
-            b += span
-        for b, span, dev_vals in pending:
-            vals = np.asarray(dev_vals).reshape(span * bs)
-            out[b * bs : (b + span) * bs] = vals
-            if checkpoint is not None:
-                for s in range(span):
-                    checkpoint.store_batch(b + s, vals[s * bs : (s + 1) * bs])
+            ix_all = replicate(self.mesh, ix_all)
+            iy_all = replicate(self.mesh, iy_all)
+        slab = self._slab_fn(sb)
+        out = np.empty(n_slabs * slab_pairs, dtype=np.float32)
+        # Dispatch slabs ahead of fetching (JAX async dispatch): device
+        # compute, result transfer, and tunnel round-trip latency overlap
+        # across slabs.  The in-flight window stays bounded so a huge run
+        # never queues an unbounded number of programs.
+        WINDOW = 16
+        pending: list[tuple[int, object]] = []
+
+        def drain(limit: int) -> None:
+            while len(pending) > limit:
+                s, dev_vals = pending.pop(0)
+                vals = np.asarray(dev_vals)
+                out[s * slab_pairs : (s + 1) * slab_pairs] = vals
+                if checkpoint is not None:
+                    checkpoint.store_batch(s, vals)
+
+        for s in range(n_slabs):
+            if checkpoint is not None and checkpoint.is_done(s):
+                vals = checkpoint.load_batch(s)
+                out[s * slab_pairs : s * slab_pairs + len(vals)] = vals
+                continue
+            start = jnp.asarray(s * slab_pairs, jnp.int32)
+            pending.append((s, slab(feats_x, feats_y, ix_all, iy_all, start)))
+            drain(WINDOW)
+        drain(0)
         return out[:n_pairs]
 
-    def _shard_chunk(self, arr: jax.Array) -> jax.Array:
-        """Shard the batch (last) axis of a (CHUNK, batch_size) index block."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from ..parallel.mesh import PAIR_AXIS
-
-        return jax.device_put(arr, NamedSharding(self.mesh, P(None, PAIR_AXIS)))
+    # ------------------------------------------------------------------- API
 
     def gram(self, *, normalize: bool = False, checkpoint_path: str | None = None) -> np.ndarray:
         """Full symmetric N x N Gram matrix (upper triangle computed once).
 
-        ``checkpoint_path`` enables tile-granular checkpoint/resume.
+        ``checkpoint_path`` enables slab-granular checkpoint/resume.
         """
         iu = np.triu_indices(self.n)
         ckpt = None
         if checkpoint_path is not None:
             from .checkpoint import TileCheckpoint
 
-            ckpt = TileCheckpoint(checkpoint_path, self.n, self.batch_size)
+            n_pairs = self.n * (self.n + 1) // 2
+            n_batches = -(-n_pairs // self.batch_size)
+            sb = min(self._slab_batches, max(1, n_batches))
+            ckpt = TileCheckpoint(checkpoint_path, self.n, sb * self.batch_size)
         vals = self._run_pairs(
             iu[0].astype(np.int32), iu[1].astype(np.int32), checkpoint=ckpt
         )
@@ -216,7 +257,7 @@ class PairKernelEngine:
         stay 0), matching CalcTestMatrix (kernel_matrix.cpp:112-182).
         Returns (rows: (T, N), self_values: (T,)).
         """
-        feats_t = _stack_on_device(test_features)
+        feats_t = self._stack(test_features)
         n_test = next(iter(feats_t.values())).shape[0]
         cols = (
             np.arange(self.n, dtype=np.int32)
@@ -224,23 +265,16 @@ class PairKernelEngine:
             else np.asarray(sv_index, np.int32)
         )
         tt, jj = np.meshgrid(np.arange(n_test, dtype=np.int32), cols, indexing="ij")
-        vals = self._run_pairs_xy(tt.ravel(), jj.ravel(), feats_t)
+        vals = self._run_pairs(tt.ravel(), jj.ravel(), feats_x=feats_t)
         rows = np.zeros((n_test, self.n), dtype=np.float32)
         rows[tt.ravel(), jj.ravel()] = vals
-        self_vals = self._run_pairs_xy(
-            np.arange(n_test, dtype=np.int32), np.arange(n_test, dtype=np.int32),
-            feats_t, both=True,
+        self_vals = self._run_pairs(
+            np.arange(n_test, dtype=np.int32),
+            np.arange(n_test, dtype=np.int32),
+            feats_x=feats_t,
+            feats_y=feats_t,
         )
         return rows, self_vals
-
-    def _run_pairs_xy(self, it, ij, feats_t, *, both: bool = False) -> np.ndarray:
-        """Pairs between test features (x side) and train features (y side)."""
-        saved = self.features
-        try:
-            self.features = feats_t  # x side gathers from test features
-            return self._run_pairs(it, ij, feats_y=feats_t if both else saved)
-        finally:
-            self.features = saved
 
 
 def normalize_gram(g: np.ndarray) -> np.ndarray:

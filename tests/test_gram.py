@@ -67,6 +67,17 @@ def test_gram_sharded_matches_unsharded():
     np.testing.assert_allclose(eng0.gram(), eng1.gram(), rtol=1e-5)
 
 
+def test_gram_sharded_multislab_matches_unsharded():
+    # enough pairs that several multi-batch slabs go through shard_map
+    feats, _ = make_features(24)  # 300 pairs, 19 batches of 16, 5 slabs of 4
+    mesh = default_mesh(jax.devices())
+    eng0 = PairKernelEngine(string_kernel_fn(), feats, batch_size=16)
+    eng1 = PairKernelEngine(
+        string_kernel_fn(), feats, batch_size=16, slab_batches=4, mesh=mesh
+    )
+    np.testing.assert_allclose(eng0.gram(), eng1.gram(), rtol=1e-5)
+
+
 def test_rows_and_diagonal_with_sv_restriction():
     feats, _ = make_features(7)
     test_feats, _ = make_features(3)
@@ -106,7 +117,8 @@ def test_norm_file(tmp_path):
 def test_gram_checkpoint_resume(tmp_path):
     feats, _ = make_features(8)
     path = str(tmp_path / "ckpt")
-    eng = PairKernelEngine(string_kernel_fn(), feats, batch_size=8)
+    # slab_batches=1 -> checkpoint granularity is one batch (8 pairs)
+    eng = PairKernelEngine(string_kernel_fn(), feats, batch_size=8, slab_batches=1)
     g0 = eng.gram()
 
     # first run with checkpointing
@@ -121,7 +133,7 @@ def test_gram_checkpoint_resume(tmp_path):
     def poisoned(x, y):
         raise AssertionError("recomputed a completed batch")
 
-    eng2 = PairKernelEngine(poisoned, feats, batch_size=8)
+    eng2 = PairKernelEngine(poisoned, feats, batch_size=8, slab_batches=1)
     g2 = eng2.gram(checkpoint_path=path)
     np.testing.assert_allclose(g2, g0, rtol=1e-6)
 
@@ -135,7 +147,7 @@ def test_gram_checkpoint_resume(tmp_path):
         calls.append(1)
         return base(x, y)
 
-    eng3 = PairKernelEngine(counting, feats, batch_size=8)
+    eng3 = PairKernelEngine(counting, feats, batch_size=8, slab_batches=1)
     g3 = eng3.gram(checkpoint_path=path)
     np.testing.assert_allclose(g3, g0, rtol=1e-6)
     assert len(calls) == 1
