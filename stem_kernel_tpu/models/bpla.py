@@ -81,6 +81,32 @@ def bpla_score_parts(
     return w_pair, w_unpair
 
 
+def bpla_factors(
+    prof: jax.Array, pl: jax.Array, pr: jax.Array, pu: jax.Array,
+    score_table: jax.Array, *, side: str,
+) -> jax.Array:
+    """Low-rank score factors f (B, L, 2 + N_RNA).
+
+    The BPLA score tensor is separable: with u = p_unpair / sum(prof)
+    (0 where the column is empty — the LAScore fallback),
+
+        s[i,j] = alpha*(f_x[i,0]f_y[j,0] + f_x[i,1]f_y[j,1])
+                 + sum_k f_x[i,2+k] f_y[j,2+k]
+
+    where f = [p_right, p_left, u*prof (@ score_table on the x side)].
+    Feeding factors to ops.pallas_la.la_*_factored avoids materializing the
+    (B, Lx, Ly) score tensor in HBM entirely.
+    """
+    tot = prof.sum(-1)
+    u = jnp.where(tot > 0, pu / jnp.where(tot > 0, tot, 1.0), 0.0)
+    unp = prof * u[..., None]
+    if side == "x":
+        unp = jnp.einsum("blk,km->blm", unp, score_table,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+    return jnp.concatenate([pr[..., None], pl[..., None], unp], axis=-1)
+
+
 def pair_mask(lx: jax.Array, max_lx: int, ly: jax.Array, max_ly: int) -> jax.Array:
     """(B, Lx, Ly) validity mask from true lengths."""
     mx = jnp.arange(max_lx)[None, :] < lx[:, None]
@@ -383,11 +409,27 @@ class BPLAKernel:
         w_pair, w_unpair = self.score_parts(x, y)
         return self.alpha * w_pair + w_unpair
 
+    def factors(self, d, side: str) -> jax.Array:
+        """(B, L, 2+N_RNA) low-rank score factors for one side."""
+        prof = d["profile"]
+        if self.no_bp:
+            zero = jnp.zeros_like(prof[..., 0])
+            return bpla_factors(prof, zero, zero, jnp.ones_like(zero),
+                                self.score_table, side=side)
+        return bpla_factors(prof, d["p_left"], d["p_right"], d["p_unpair"],
+                            self.score_table, side=side)
+
     def __call__(self, x, y) -> jax.Array:
         if self.sw:
             s = self.scores(x, y)
             mask = pair_mask(x["length"], s.shape[1], y["length"], s.shape[2])
             return local_alignment_max(s, mask, self.gap, self.ext)
+        if jax.default_backend() in ("tpu", "axon"):
+            from ..ops.pallas_la import la_exp_factored
+
+            return la_exp_factored(self.factors(x, "x"), self.factors(y, "y"),
+                                   x["length"], y["length"],
+                                   self.alpha, self.beta, self.gap, self.ext)
         from ..ops.pallas_la import la_exp_affine_auto
 
         wp, wu = self.score_parts(x, y)
@@ -400,6 +442,12 @@ class BPLAKernel:
             s = self.scores(x, y)
             mask = pair_mask(x["length"], s.shape[1], y["length"], s.shape[2])
             return jnp.log(jnp.maximum(local_alignment_max(s, mask, self.gap, self.ext), 1e-300))
+        if jax.default_backend() in ("tpu", "axon"):
+            from ..ops.pallas_la import la_log_factored
+
+            return la_log_factored(self.factors(x, "x"), self.factors(y, "y"),
+                                   x["length"], y["length"],
+                                   self.alpha, self.beta, self.gap, self.ext)
         from ..ops.pallas_la import la_log_affine_auto
 
         wp, wu = self.score_parts(x, y)

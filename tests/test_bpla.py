@@ -284,3 +284,73 @@ def test_pallas_affine_fusion_interpret():
         scores2=jnp.asarray(wu), alpha=alpha, block_b=8, interpret=True))
     want_l = np.asarray(local_alignment_log(jnp.asarray(S), mask, beta, gap, ext))
     np.testing.assert_allclose(got_l, want_l, rtol=2e-4)
+
+
+def test_pallas_factored_matches_materialized():
+    # the factored kernels must equal the two-slab affine path on scores
+    # rebuilt from the same factors (the low-rank identity is exact)
+    from stem_kernel_tpu.ops.pallas_la import (
+        la_exp_factored, la_exp_pallas, la_log_factored, la_log_pallas)
+
+    alpha, beta, gap, ext = 4.5, 0.11, -8.0, -0.75
+    rng = np.random.default_rng(7)
+    B, Lx, Ly, K = 5, 21, 17, 6
+    fx = jnp.asarray(rng.normal(size=(B, Lx, K)).astype(np.float32) * 0.4)
+    fy = jnp.asarray(rng.normal(size=(B, Ly, K)).astype(np.float32) * 0.4)
+    lx = jnp.asarray(np.array([21, 13, 3, 21, 1], np.int32))
+    ly = jnp.asarray(np.array([17, 17, 2, 9, 1], np.int32))
+    wp = jnp.einsum("bik,bjk->bij", fx[..., :2], fy[..., :2])
+    wu = jnp.einsum("bik,bjk->bij", fx[..., 2:], fy[..., 2:])
+
+    want = la_exp_pallas(wp, lx, ly, beta, gap, ext, scores2=wu, alpha=alpha,
+                         block_b=8, interpret=True)
+    got = la_exp_factored(fx, fy, lx, ly, alpha, beta, gap, ext,
+                          block_b=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3)
+
+    want_l = la_log_pallas(wp, lx, ly, beta, gap, ext, scores2=wu,
+                           alpha=alpha, block_b=8, interpret=True)
+    got_l = la_log_factored(fx, fy, lx, ly, alpha, beta, gap, ext,
+                            block_b=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_bpla_factors_reproduce_score_parts():
+    from stem_kernel_tpu.models.bpla import bpla_factors, bpla_score_parts
+
+    rng = np.random.default_rng(3)
+    B, Lx, Ly, N = 3, 11, 9, 4
+    S = jnp.asarray(rng.normal(size=(N, N)).astype(np.float32))
+    px = jnp.asarray(rng.uniform(size=(B, Lx, N)).astype(np.float32))
+    py = jnp.asarray(rng.uniform(size=(B, Ly, N)).astype(np.float32))
+    # zero out one column entirely (the LAScore den==0 fallback)
+    px = px.at[0, 4].set(0.0)
+    plx, prx, pux = (jnp.asarray(rng.uniform(size=(B, Lx)).astype(np.float32))
+                     for _ in range(3))
+    ply, pry, puy = (jnp.asarray(rng.uniform(size=(B, Ly)).astype(np.float32))
+                     for _ in range(3))
+
+    wp, wu = bpla_score_parts(px, plx, prx, pux, py, ply, pry, puy, S)
+    fx = bpla_factors(px, plx, prx, pux, S, side="x")
+    fy = bpla_factors(py, ply, pry, puy, S, side="y")
+    wp2 = jnp.einsum("bik,bjk->bij", fx[..., :2], fy[..., :2])
+    wu2 = jnp.einsum("bik,bjk->bij", fx[..., 2:], fy[..., 2:])
+    np.testing.assert_allclose(np.asarray(wp2), np.asarray(wp), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(wu2), np.asarray(wu), rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_row_block_invariance():
+    from stem_kernel_tpu.ops.pallas_la import la_exp_pallas, la_log_pallas
+
+    beta, gap, ext = 0.11, -8.0, -0.75
+    S = rand_scores(4, 19, 13, lo=-3.0, hi=2.0)
+    lx = np.array([19, 11, 3, 16], np.int32)
+    ly = np.array([13, 13, 2, 7], np.int32)
+    args = (jnp.asarray(S), jnp.asarray(lx), jnp.asarray(ly), beta, gap, ext)
+    r1 = la_exp_pallas(*args, block_b=8, row_block=1, interpret=True)
+    r8 = la_exp_pallas(*args, block_b=8, row_block=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r8), rtol=1e-5)
+    l1 = la_log_pallas(*args, block_b=8, row_block=1, interpret=True)
+    l8 = la_log_pallas(*args, block_b=8, row_block=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l8), rtol=1e-5)
