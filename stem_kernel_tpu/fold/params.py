@@ -22,14 +22,13 @@ common/pf_wrapper.cpp:15-36):
   plus terminal-AU,
 - ``--noLonelyPairs`` / ``--noClosingGU`` / ``--noGU`` gates.
 
-Built-in numeric defaults are Turner-flavoured (stacking from Turner 2004;
-mismatch/dangle tables default to zero; terminal AU/GU = +0.50 kcal/mol).
-Exact published tables load from a Vienna ``.par`` v2.0 parameter file via
-:func:`load_params_file` — that is the parity path for users who need
-byte-faithful Turner 2004 energies (this environment ships neither Vienna
-nor its parameter files, so the DP machinery is instead validated against
-an exhaustive structure-enumeration oracle with randomized tables, which
-exercises every term).
+Built-in numeric defaults are the transcribed Turner 2004 set
+(fold.turner2004 — see its docstring for the exact-vs-constructed
+provenance of each table).  Byte-faithful published tables load from a
+Vienna ``.par`` v2.0 parameter file via :func:`load_params_file`; the DP
+machinery itself is validated against an exhaustive structure-enumeration
+oracle with randomized tables (which exercises every term), and the
+shipped default model is pinned by golden BPP matrices in tests/golden/.
 """
 
 from __future__ import annotations
@@ -145,7 +144,20 @@ class EnergyParams:
 
 
 def default_params() -> EnergyParams:
-    """Turner-flavoured defaults at 37C converted to log-weights."""
+    """The shipped default model: the transcribed Turner 2004 set.
+
+    See fold.turner2004 for the full provenance statement.  The reference's
+    folding layer is Vienna pf_fold under the same published parameter set
+    (/root/reference/common/bpmatrix.cpp:166-174)."""
+    from .turner2004 import turner2004_params
+
+    return turner2004_params()
+
+
+def bare_params() -> EnergyParams:
+    """Minimal Turner-flavoured defaults (stacking + loop shapes only;
+    mismatch/dangle tables zero).  Base model for the simple text parameter
+    format, where files specify deltas over an intentionally plain model."""
     kt = KT37
     terminal = np.zeros(N_PAIR)
     terminal[2:] = -TERMINAL_AU_DG / kt  # GU UG AU UA
@@ -264,7 +276,7 @@ def _load_simple(path: str) -> EnergyParams:
     Tables:   pair_bonus <PAIR> <v>;  stack <PAIR> <PAIR> <v>.
     All values are log-weights (score/kT).
     """
-    p = default_params()
+    p = bare_params()
     p.stack = p.stack.copy()
     p.pair_bonus = p.pair_bonus.copy()
     # J-S anchors: init key -> (attr, min_size, ref_size, default slope)

@@ -34,8 +34,11 @@ Features = Mapping[str, jax.Array]
 # whose arrays all share a leading batch axis.
 KernelFn = Callable[[Features, Features], jax.Array]
 
-# (kernel_fn, batch_size, slab_batches, mesh) -> jitted slab program
+# (kernel_fn, batch_size, slab_batches, mesh) -> jitted slab program.
+# Bounded FIFO so dead engines' compiled programs (and their mesh objects)
+# don't accumulate for the process lifetime.
 _SLAB_FN_CACHE: dict = {}
+_SLAB_FN_CACHE_MAX = 64
 
 
 class PairKernelEngine:
@@ -113,7 +116,7 @@ class PairKernelEngine:
             return kernel_fn(x, y)
 
         if self.mesh is not None:
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
             from ..parallel.mesh import PAIR_AXIS
@@ -123,7 +126,7 @@ class PairKernelEngine:
                 mesh=self.mesh,
                 in_specs=(P(), P(), P(PAIR_AXIS), P(PAIR_AXIS)),
                 out_specs=P(PAIR_AXIS),
-                check_rep=False,
+                check_vma=False,
             )
 
         def slab(feats_x, feats_y, ix_all, iy_all, start):
@@ -137,6 +140,8 @@ class PairKernelEngine:
             return vals.reshape(-1)
 
         fn = jax.jit(slab)
+        if cache is _SLAB_FN_CACHE and len(cache) >= _SLAB_FN_CACHE_MAX:
+            cache.pop(next(iter(cache)))
         cache[key] = fn
         return fn
 
@@ -159,6 +164,13 @@ class PairKernelEngine:
         feats_x = self.features if feats_x is None else feats_x
         feats_y = self.features if feats_y is None else feats_y
         n_pairs = len(ix)
+        if n_pairs >= 2**31:
+            # dynamic_slice offsets are int32 on device; past 2^31 pairs the
+            # slab start would wrap negative and silently read wrong pairs.
+            raise ValueError(
+                f"{n_pairs} pairs exceeds the int32 slab-offset range; "
+                "split the Gram into blocks of < 2^31 pairs (~65k examples)"
+            )
         bs = self.batch_size
         n_batches = -(-n_pairs // bs)
         # Small problems use a smaller slab so padding waste stays O(bs).

