@@ -51,6 +51,7 @@ class AppOptions:
     use_pf_scale_file: bool = False
     pf_files: list[str] = field(default_factory=list)
     pf_ts_files: list[str] = field(default_factory=list)
+    stream_chunk: int = 64  # test examples featurized per predict chunk
 
 
 def add_common_options(p: argparse.ArgumentParser) -> None:
@@ -69,6 +70,10 @@ def add_common_options(p: argparse.ArgumentParser) -> None:
     p.add_argument("--trace-dir", default="",
                    help="write a jax.profiler trace of the run to this "
                         "directory (view with TensorBoard / xprof)")
+    p.add_argument("--stream-chunk", type=int, default=64,
+                   help="predict mode: featurize this many test examples at "
+                        "a time (memory stays O(train + chunk), matching the "
+                        "reference's streaming predictor)")
     p.add_argument("--use-pf-scale-file", action="store_true",
                    help="positional args come as 'label file pf_scale_file' "
                         "triples (framework.cpp:26-30); the scaled fold "
@@ -100,6 +105,7 @@ def parse_positional(ns: argparse.Namespace) -> AppOptions:
         trace_dir=getattr(ns, "trace_dir", ""),
     )
     opts.use_pf_scale_file = getattr(ns, "use_pf_scale_file", False)
+    opts.stream_chunk = getattr(ns, "stream_chunk", 64)
     if "--test" in extra:
         opts.predict_mode = True
         x = extra.index("--test")
@@ -189,11 +195,19 @@ def run_app(
     batch_size: int = 256,
     mesh=None,
     log_kernel: bool = False,
+    featurize_buckets=None,
+    merge_aux=None,
 ) -> None:
     """Execute the train or predict flow.
 
     ``log_kernel``: the kernel_fn returns log K; normalization happens in log
     space (overflow-safe for long sequences).
+    ``featurize_buckets``: alignments -> list of (indices, feats, aux)
+    shape-buckets; when given, the train Gram is assembled block-wise at
+    per-bucket pad shapes (gram.bucketed) instead of corpus-max padding.
+    ``merge_aux``: combine train and test-chunk featurizer aux (e.g. ``max``
+    for iteration bounds) when streaming predict chunks; None reuses the
+    train aux.
     """
     enable_compile_cache()
     if opts.trace_dir:
@@ -209,11 +223,13 @@ def run_app(
     with ctx:
         return _run_app_inner(opts, featurize, make_kernel_fn,
                               batch_size=batch_size, mesh=mesh,
-                              log_kernel=log_kernel)
+                              log_kernel=log_kernel,
+                              featurize_buckets=featurize_buckets,
+                              merge_aux=merge_aux)
 
 
 def _run_app_inner(opts, featurize, make_kernel_fn, *, batch_size, mesh,
-                   log_kernel):
+                   log_kernel, featurize_buckets=None, merge_aux=None):
     t_start = time.time()
     counts: list[int] | None = [] if opts.use_pf_scale_file else None
     train_alns, train_labels = load_labeled(opts.labels, opts.files,
@@ -221,16 +237,30 @@ def _run_app_inner(opts, featurize, make_kernel_fn, *, batch_size, mesh,
     if opts.use_pf_scale_file:
         load_pf_scales(opts.pf_files, counts)
     if not opts.predict_mode:
-        feats, aux = featurize(train_alns)
-        kernel_fn = make_kernel_fn(aux)
-        eng = PairKernelEngine(kernel_fn, feats, batch_size=batch_size, mesh=mesh,
-                               log_values=log_kernel)
-        g = eng.gram(normalize=opts.normalize)
+        if featurize_buckets is not None:
+            from ..gram.bucketed import bucketed_gram
+
+            buckets = featurize_buckets(train_alns)
+            g = bucketed_gram(
+                buckets, make_kernel_fn, normalize=opts.normalize,
+                batch_size=batch_size, mesh=mesh, log_values=log_kernel,
+            )
+        else:
+            feats, aux = featurize(train_alns)
+            kernel_fn = make_kernel_fn(aux)
+            eng = PairKernelEngine(kernel_fn, feats, batch_size=batch_size,
+                                   mesh=mesh, log_values=log_kernel)
+            g = eng.gram(normalize=opts.normalize)
         write_precomputed(opts.output, train_labels, g)
         print(f"elapsed time: {time.time()-t_start:.1f}s", file=sys.stderr)
         return
 
-    # ---- predict mode ----
+    # ---- predict mode (streaming: fixed-size test chunks) ----
+    # The reference streams one test sequence at a time against the resident
+    # training set (common/framework.h:226-303); here test examples are
+    # featurized in fixed-size chunks with their OWN pad shapes (every kernel
+    # is shape-generic in x vs y), so peak memory is O(train + chunk), never
+    # O(test set).
     sv_index = None
     models = []
     if opts.model_files:
@@ -242,38 +272,50 @@ def _run_app_inner(opts, featurize, make_kernel_fn, *, batch_size, mesh,
                                           counts_out=ts_counts)
     if opts.use_pf_scale_file:
         load_pf_scales(opts.pf_ts_files, ts_counts)
-    # featurize jointly so padded shapes agree, then split
-    all_alns = train_alns + test_alns
-    feats, aux = featurize(all_alns)
-    n_train = len(train_alns)
-    train_feats = {k: v[:n_train] for k, v in feats.items()}
-    test_feats = {k: v[n_train:] for k, v in feats.items()}
 
-    kernel_fn = make_kernel_fn(aux)
-    eng = PairKernelEngine(kernel_fn, train_feats, batch_size=batch_size, mesh=mesh,
+    train_feats, aux_tr = featurize(train_alns)
+    eng = PairKernelEngine(make_kernel_fn(aux_tr), train_feats,
+                           batch_size=batch_size, mesh=mesh,
                            log_values=log_kernel)
     diag = eng.diagonal(sv_index=sv_index)
-    rows, self_vals = eng.rows(test_feats, sv_index=sv_index)
 
-    if log_kernel:
-        cols = np.arange(rows.shape[1]) if sv_index is None else np.asarray(sv_index)
-        if opts.normalize:
+    chunk = max(1, int(getattr(opts, "stream_chunk", 64) or 64))
+    n_test = len(test_alns)
+    all_norm_rows = []
+    all_self = []
+    for lo in range(0, n_test, chunk):
+        chunk_alns = test_alns[lo : lo + chunk]
+        feats_c, aux_c = featurize(chunk_alns)
+        if merge_aux is not None:
+            eng.kernel_fn = make_kernel_fn(merge_aux(aux_tr, aux_c))
+        rows, self_vals = eng.rows(feats_c, sv_index=sv_index)
+
+        if log_kernel:
+            cols = (np.arange(rows.shape[1]) if sv_index is None
+                    else np.asarray(sv_index))
             norm_rows = np.zeros_like(rows)
-            norm_rows[:, cols] = np.exp(
-                rows[:, cols] - 0.5 * (diag[None, cols] + self_vals[:, None])
-            )
+            if opts.normalize:
+                norm_rows[:, cols] = np.exp(
+                    rows[:, cols] - 0.5 * (diag[None, cols] + self_vals[:, None])
+                )
+            else:
+                norm_rows[:, cols] = np.exp(rows[:, cols].astype(np.float64))
+            self_vals = np.exp(self_vals.astype(np.float64))
         else:
-            norm_rows = np.zeros_like(rows)
-            norm_rows[:, cols] = np.exp(rows[:, cols].astype(np.float64))
-        self_vals = np.exp(self_vals.astype(np.float64))
-    else:
-        norm_rows = rows.copy()
-        if opts.normalize:
-            denom = np.sqrt(np.clip(diag, 1e-300, None))[None, :] * np.sqrt(
-                np.clip(self_vals, 1e-300, None)
-            )[:, None]
-            cols = np.flatnonzero(diag > 0)
-            norm_rows[:, cols] = rows[:, cols] / denom[:, cols]
+            norm_rows = rows.copy()
+            if opts.normalize:
+                denom = np.sqrt(np.clip(diag, 1e-300, None))[None, :] * np.sqrt(
+                    np.clip(self_vals, 1e-300, None)
+                )[:, None]
+                cols = np.flatnonzero(diag > 0)
+                norm_rows[:, cols] = rows[:, cols] / denom[:, cols]
+        all_norm_rows.append(norm_rows)
+        all_self.append(self_vals)
+
+    norm_rows = (np.concatenate(all_norm_rows) if all_norm_rows
+                 else np.zeros((0, len(train_alns)), np.float32))
+    self_vals = (np.concatenate(all_self) if all_self
+                 else np.zeros((0,), np.float64))
 
     if not opts.predict_only:
         with _open_write(opts.output) as f:

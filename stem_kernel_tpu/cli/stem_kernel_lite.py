@@ -117,10 +117,16 @@ def main(argv=None) -> int:
     def featurize(alignments):
         return featurize_stem_examples(alignments, config)
 
+    def featurize_buckets(alignments):
+        from ..models.composite import featurize_stem_bucketed
+
+        return featurize_stem_bucketed(alignments, config)
+
     def make_fn(iters):
         return make_stem_lite_kernel_fn(config, iters)
 
-    run_app(opts, featurize, make_fn)
+    run_app(opts, featurize, make_fn, featurize_buckets=featurize_buckets,
+            merge_aux=max)
     return 0
 
 

@@ -110,21 +110,20 @@ def _skew_sum(c: jax.Array) -> jax.Array:
 def _conv_rows(slab: jax.Array, kernel: jax.Array, flip: bool) -> jax.Array:
     """out[i] = sum_{c,a} slab[c, i + a] * K[c, a]   (flip=False)
        out[i] = sum_{c,a} slab[c, i - a] * K[c, a]   (flip=True)
-    slab: (C, n), kernel: (C, A) -> out: (n,)."""
-    cdim, n = slab.shape
-    _, adim = kernel.shape
-    if flip:
-        x = jnp.pad(slab, ((0, 0), (adim - 1, 0)))[None, None]
-        k = kernel[:, ::-1][None, None]
-    else:
-        x = jnp.pad(slab, ((0, 0), (0, adim - 1)))[None, None]
-        k = kernel[None, None]
-    out = jax.lax.conv_general_dilated(
-        x, k, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    slab: (C, n), kernel: (C, A) -> out: (n,).
+
+    Factored as one (A, C) @ (C, n) matmul (MXU) followed by a pad-reshape
+    skew sum over the offset axis — NOT conv_general_dilated: a (C, A) =
+    33x33 window conv compiles pathologically on the TPU backend (measured
+    ~620 s XLA compile for the fold program vs ~10 s with small kernels;
+    this formulation removes the conv entirely at identical flops)."""
+    w = jnp.einsum(
+        "ca,cn->an", kernel.astype(slab.dtype), slab,
         precision=jax.lax.Precision.HIGHEST,
     )
-    return out[0, 0, 0, :n]
+    if flip:
+        return _skew_sum(w)
+    return _skew_sum(w[:, ::-1])[::-1]
 
 
 def _skew_ij_to_span(m: jax.Array, fill: float) -> jax.Array:

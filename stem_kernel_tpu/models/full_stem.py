@@ -221,3 +221,186 @@ def full_stem_kernel(
     # outs: (n, B, m+1); pick level lx, column ly
     outs = jnp.concatenate([K0_0[None, :, 0, 0, :], outs], axis=0)  # level 0..n
     return outs[lx, jnp.arange(bsz), ly]
+
+
+@partial(jax.jit, static_argnames=("band",))
+def full_stem_kernel_banded(
+    x_codes: jax.Array,  # (B, n)
+    y_codes: jax.Array,  # (B, m)
+    lx: jax.Array,
+    ly: jax.Array,
+    bp_x: jax.Array,  # (B, n, n)
+    bp_y: jax.Array,  # (B, m, m)
+    gap: jax.Array,
+    stack: jax.Array,
+    subst: jax.Array,
+    band: int = 16,
+) -> jax.Array:
+    """Windowed-memory full stem kernel: O(B n W^2) live state, W = 2*band+1.
+
+    The TPU equivalent of the reference's banded partial_dp with row
+    recycling (/root/reference/stem_kernel/stem_kernel.cpp:165-246,
+    stem_kernel/dptable.h:41-116): instead of five dense (B, n+1, m+1, m+1)
+    state tensors, each block (i, j=i+d) stores only a (W, W) window of the
+    (k, l) plane anchored on the slope-1 diagonal (k in i +- band,
+    l in j +- band).
+
+    Window algebra (why this is EXACT inside the band, not an
+    approximation): out-of-window state values have closed forms —
+    * K-states are CONSTANT beyond the band (their k/l recursions are
+      cumsums of injections that the band masks to zero), so a window
+      shifted by one replicates its edge value (clamp fill);
+    * G-states DECAY by exactly ``gap`` per step beyond the band (their
+      recursions are linear recurrences with decay ``gap`` and zero
+      injection), so the entering edge is gap * edge.
+    Hence for equal-length pairs the banded kernel equals the dense
+    ``full_stem_kernel(band=band)`` to floating-point accuracy.  For
+    lx != ly the dense path anchors windows on the scaled diagonal
+    (round(i*ly/lx)) while this path uses slope 1, so values agree when
+    |lx - ly| <= band and diverge gracefully beyond (the same regime the
+    reference's len_band gate excludes, stem_kernel_lite/stem_kernel.cpp:46-48).
+    Pairs with |lx - ly| > band return 0.
+    """
+    bsz, n = x_codes.shape
+    m = y_codes.shape[1]
+    dt = bp_x.dtype
+    gap = jnp.asarray(gap, dt)
+    stack = jnp.asarray(stack, dt)
+    subst = jnp.asarray(subst, dt)
+    W = 2 * band + 1
+
+    i_idx = jnp.arange(n + 1)
+    wk_idx = jnp.arange(W)
+    wl_idx = jnp.arange(W)
+
+    eq = (x_codes[:, :, None] == y_codes[:, None, :])  # (B, n, m)
+
+    # --- d-independent windows ---
+    # absolute k for (block i, window slot wk): k = i - band + wk
+    k_abs = i_idx[:, None] - band + wk_idx[None, :]  # (n+1, W)
+    k_ok = (k_abs >= 0) & (k_abs <= m - 1)
+    eq_i = eq[:, jnp.minimum(i_idx, n - 1), :]  # (B, n+1, m)
+    kk = jnp.clip(k_abs, 0, m - 1)
+    eq1_win = jnp.where(
+        k_ok[None],
+        jnp.take_along_axis(eq_i, jnp.broadcast_to(kk[None], (bsz, n + 1, W)), axis=2),
+        False,
+    )  # (B, n+1, W)
+
+    # --- initial states: level d = 0, l anchor = k anchor = i ---
+    rel = wl_idx[None, :] - wk_idx[:, None]  # l - k at d = 0
+    G0_0 = jnp.broadcast_to(
+        (gap ** rel.astype(dt)) * (rel >= 0).astype(dt), (bsz, n + 1, W, W)
+    ).astype(dt)
+    K0_0 = jnp.ones((bsz, n + 1, W, W), dt)
+    zeros = jnp.zeros((bsz, n + 1, W, W), dt)
+
+    # constant (W, W) contraction matrices for the within-window recursions:
+    #   K3[a] = sum_{b >= a} inj[b]          (reverse cumsum)
+    #   G3[a] = sum_{b >= a} g^(b-a) inj[b]  (reverse linear recurrence)
+    #   K2[l] = sum_{a <= l} K3[a]           (cumsum)
+    #   G2[l] = sum_{a <= l} g^(l-a) G3[a]
+    rel_w = wk_idx[:, None] - wk_idx[None, :]  # a - b
+    up_ones = (rel_w <= 0).astype(dt)
+    up_gap = up_ones * gap ** jnp.maximum(-rel_w, 0).astype(dt)
+    lo_ones = up_ones  # [a, l]: 1 where a <= l — same triangular pattern
+    lo_gap = up_gap
+    prec = jax.lax.Precision.HIGHEST
+
+    def shift_i(t):  # block at start i+1
+        return jnp.concatenate([t[:, 1:], jnp.zeros_like(t[:, :1])], axis=1)
+
+    def shift_wk(t, fill_scale):
+        """new[wk] = old[wk-1]; entering low-k edge = fill_scale * old[0]."""
+        return jnp.concatenate(
+            [fill_scale * t[:, :, :1], t[:, :, :-1]], axis=2
+        )
+
+    def shift_wl(t, fill_scale):
+        """new[wl] = old[wl+1]; entering high-l edge = fill_scale * old[-1]."""
+        return jnp.concatenate(
+            [t[..., 1:], fill_scale * t[..., -1:]], axis=3
+        )
+
+    def level_step(carry, d):
+        (K0p, G0p, K1p, G1p, G0pp) = carry
+        # K1(i+1, j): block shift + k-window re-anchor (clamp / gap fills)
+        K1_base = shift_wk(shift_i(K1p), 1.0)
+        G1_base = shift_wk(shift_i(G1p), gap)
+        # K0(i, j-1): l-window slides right by one
+        K0_base = shift_wl(K0p, 1.0)
+        G0_base = shift_wl(G0p, gap)
+        # G0(i+1, j-1) read at (k+1, l-1): anchors cancel — plain block shift
+        base = shift_i(G0pp)
+
+        jm1 = jnp.clip(i_idx + d - 1, 0, n - 1)
+        valid_i = (i_idx + d <= n)
+        bpx_d = jnp.where(
+            valid_i[None, :], bp_x[:, jnp.minimum(i_idx, n - 1), jm1], 0.0
+        )  # (B, n+1)
+
+        # absolute l = i + d - band + wl;   reads use l-1
+        lm1 = i_idx[:, None] + d - band + wl_idx[None, :] - 1  # (n+1, W)
+        l_ok = (lm1 >= 0) & (lm1 <= m - 1)
+        ll = jnp.clip(lm1, 0, m - 1)
+        eq2_full = eq[:, jm1, :]  # (B, n+1, m)
+        eq2_win = jnp.where(
+            l_ok[None],
+            jnp.take_along_axis(
+                eq2_full, jnp.broadcast_to(ll[None], (bsz, n + 1, W)), axis=2
+            ),
+            False,
+        )
+        # bp_y(k, l-1) window: (B, n+1, W, W)
+        bpy_win = bp_y[:, kk[:, :, None], ll[:, None, :]]
+        bpy_win = jnp.where(
+            (k_ok[:, :, None] & l_ok[:, None, :])[None], bpy_win, 0.0
+        )
+
+        both_eq = (eq1_win[:, :, :, None] & eq2_win[:, :, None, :]).astype(dt)
+        wfac = bpx_d[:, :, None, None] * bpy_win
+        inj_k3 = base * stack * wfac * jnp.where(both_eq > 0, 1.0, subst)
+        inj_g3 = base * both_eq * jnp.where(wfac > 0, 1.0, 0.0)
+
+        # k <= l  <=>  wk <= d + wl;  out-of-range blocks contribute nothing
+        tri_w = (wk_idx[:, None] <= d + wl_idx[None, :]).astype(dt)
+        inj_k3 = inj_k3 * tri_w[None, None] * valid_i[None, :, None, None]
+        inj_g3 = inj_g3 * tri_w[None, None] * valid_i[None, :, None, None]
+
+        # within-window recursions (injections vanish outside the band, so
+        # window sums equal the unbounded ones).  Expressed as (W, W)
+        # triangular-matrix contractions rather than cumsum/associative_scan:
+        # identical math, runs on the MXU, and avoids an XLA-TPU fusion-
+        # emitter crash (TransformWindow CHECK) that the scan lowering
+        # triggers at W >= 33 on these (B, n+1, W, W) shapes.
+        K3 = jnp.einsum("ab,xnbl->xnal", up_ones, inj_k3, precision=prec)
+        G3 = jnp.einsum("ab,xnbl->xnal", up_gap, inj_g3, precision=prec)
+        K2 = jnp.einsum("xnka,al->xnkl", K3, lo_ones, precision=prec)
+        G2 = jnp.einsum("xnka,al->xnkl", G3, lo_gap, precision=prec)
+        K1 = K1_base + K2
+        G1 = G1_base * gap + G2
+        K0 = K0_base + K1
+        G0 = G0_base * gap + G1
+
+        # boundary overrides; the absolute diagonal k == l sits at
+        # wk - wl == d (only inside the window while d < W)
+        diag_w = (wk_idx[:, None] - wl_idx[None, :] == d).astype(dt)
+        K0 = K0 * tri_w + (1.0 - tri_w) * 0.0
+        K0 = jnp.where(diag_w[None, None] > 0, 1.0, K0)
+        G0 = G0 * tri_w
+        G0 = jnp.where(diag_w[None, None] > 0, gap ** jnp.asarray(d, dt), G0)
+        K1 = K1 * tri_w * (1.0 - diag_w)
+        G1 = G1 * tri_w * (1.0 - diag_w)
+
+        out = K0[:, 0, band, :]  # block (0, d) at k = 0: (B, W) over l slots
+        return (K0, G0, K1, G1, G0p), out
+
+    init = (K0_0, G0_0, zeros, zeros, zeros)
+    _, outs = jax.lax.scan(level_step, init, jnp.arange(1, n + 1))
+    outs = jnp.concatenate([K0_0[None, :, 0, band, :], outs], axis=0)  # d = 0..n
+    # value at (lx, l = ly): window slot band + (ly - lx); defined only
+    # within the band
+    off = ly - lx
+    slot = jnp.clip(band + off, 0, W - 1)
+    vals = outs[lx, jnp.arange(bsz), slot]
+    return jnp.where(jnp.abs(off) <= band, vals, 0.0)

@@ -165,3 +165,51 @@ def test_full_stem_with_full_windows_matches_unbanded():
         win_hi=jnp.full((1, n + 1), 6, jnp.int32),
     ))
     assert (v_tight <= v_free + 1e-6).all()
+
+
+def _pack_pair(a, b):
+    ca, cb = encode(a), encode(b)
+    n = max(len(a), len(b)) + 1
+    x = np.zeros((1, n), np.uint8)
+    y = np.zeros((1, n), np.uint8)
+    x[0, : len(ca)] = ca
+    y[0, : len(cb)] = cb
+    bx = np.zeros((1, n, n))
+    by = np.zeros((1, n, n))
+    bx[0, : len(a), : len(a)] = pair_weights(ca, len(a))
+    by[0, : len(b), : len(b)] = pair_weights(cb, len(b))
+    return (jnp.asarray(x), jnp.asarray(y),
+            jnp.asarray([len(a)]), jnp.asarray([len(b)]),
+            jnp.asarray(bx, jnp.float32), jnp.asarray(by, jnp.float32),
+            0.8, 1.0, 0.5)
+
+
+def test_banded_matches_dense_banded_equal_lengths():
+    """Windowed-memory kernel == dense banded kernel to fp accuracy when
+    lx == ly (the window algebra is exact inside the band; clamp/decay
+    edge fills reproduce the out-of-window closed forms)."""
+    from stem_kernel_tpu.models.full_stem import full_stem_kernel_banded
+
+    seqs = ["gggaaacccaugcaaggcauuca", "ggcaaagccgcaaagcggauacc"]
+    args = _pack_pair(*seqs)
+    for band in (4, 8):
+        dense = float(np.asarray(full_stem_kernel(*args, band=band))[0])
+        windowed = float(np.asarray(full_stem_kernel_banded(*args, band=band))[0])
+        np.testing.assert_allclose(windowed, dense, rtol=2e-5)
+
+
+def test_banded_wide_band_matches_unbanded():
+    from stem_kernel_tpu.models.full_stem import full_stem_kernel_banded
+
+    args = _pack_pair("gcgcaaagcgc", "gcgcaaagcgc")
+    full = float(np.asarray(full_stem_kernel(*args))[0])
+    wide = float(np.asarray(full_stem_kernel_banded(*args, band=14))[0])
+    np.testing.assert_allclose(wide, full, rtol=2e-5)
+
+
+def test_banded_length_gap_beyond_band_is_zero():
+    from stem_kernel_tpu.models.full_stem import full_stem_kernel_banded
+
+    args = _pack_pair("gggaaacccaugcaagg", "gggaaaccc")  # |lx-ly| = 8 > 4
+    v = float(np.asarray(full_stem_kernel_banded(*args, band=4))[0])
+    assert v == 0.0
