@@ -141,8 +141,8 @@ def bpp_for_alignments(
 
 def alifold_covariance(
     aln: Alignment, *, cov_weight: float = 1.6, noncanon_penalty: float = 1.6
-) -> tuple[np.ndarray, np.ndarray]:
-    """(consensus_codes, w_extra) for a covariance-scored consensus fold.
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(consensus_codes, w_extra, pt_major) for a covariance-scored fold.
 
     RNAalifold-style column-pair scoring (Hofacker 2002, the engine behind
     the reference's ALIFOLD method via alipf_fold,
@@ -197,11 +197,16 @@ def alifold_covariance(
     w_extra = cov_weight * cov - noncanon_penalty * pen
     w_extra = np.where(n_canon > 0, w_extra, -1e30).astype(np.float32)
 
+    # Row-aware pair gate (alipf_fold admits a pair when ANY row pairs,
+    # /root/reference/common/bpmatrix.cpp:355-397): pair type per column
+    # pair = the majority canonical row pair, -1 only when NO row pairs.
+    pt_major = np.where(n_canon > 0, np.argmax(cnt, axis=0), -1).astype(np.int32)
+
     from ..io.profile import profile_from_alignment
 
     prof = profile_from_alignment(aln)
     consensus = np.argmax(prof[:, :4], axis=1).astype(np.uint8)
-    return consensus, w_extra
+    return consensus, w_extra, pt_major
 
 
 def alifold_bpp(aln: Alignment, opts: BPMatrixOptions | None = None) -> np.ndarray:
@@ -210,16 +215,18 @@ def alifold_bpp(aln: Alignment, opts: BPMatrixOptions | None = None) -> np.ndarr
     The consensus sequence is folded with per-(i, j) log-weight adjustments
     from :func:`alifold_covariance` — compensatory mutations reward a pair,
     inconsistent rows penalize it, unpairable columns are excluded — the
-    RNAalifold recipe the reference reaches through alipf_fold.  One
-    approximation vs alipf_fold: column pairs where the majority consensus
-    itself is non-canonical are excluded even if a minority of rows pairs
-    (the engine's pair gate is evaluated on the consensus sequence)."""
+    RNAalifold recipe the reference reaches through alipf_fold.  The pair
+    gate is ROW-AWARE, like alipf_fold's: a column pair is admissible when
+    ANY row pairs canonically (typed by the majority canonical row pair via
+    ``pt_override``), not only when the consensus sequence pairs; minority
+    support is discounted by the w_extra non-canonical penalty."""
     opts = opts or BPMatrixOptions()
     from .mccaskill_scaled import mccaskill_bpp_batch_scaled
 
-    consensus, w_extra = alifold_covariance(aln)
+    consensus, w_extra, pt_major = alifold_covariance(aln)
     bpp, _ = mccaskill_bpp_batch_scaled(
         consensus[None, :], np.array([aln.length]),
         opts.resolved_params(), w_extra=w_extra[None],
+        pt_override=pt_major[None],
     )
     return np.asarray(bpp[0], np.float64)

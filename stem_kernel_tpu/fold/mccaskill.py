@@ -101,18 +101,18 @@ def _span_gather(table: jax.Array, rows: jax.Array, cols: jax.Array) -> jax.Arra
     return jnp.where(valid, jnp.take(table.reshape(-1), flat), NEG)
 
 
-def _luts_f(codes, length, params, w_extra, dt):
-    luts = build_luts(codes, length, params, w_extra)
+def _luts_f(codes, length, params, w_extra, dt, pt_ov=None):
+    luts = build_luts(codes, length, params, w_extra, pt_override=pt_ov)
     return {k: v.astype(dt) for k, v in luts.items()}
 
 
 @partial(jax.jit, static_argnums=(2,))
-def _inside(codes: jax.Array, length: jax.Array, params_key, w_extra, ia, ib, ipen, icls, dt_probe):
+def _inside(codes: jax.Array, length: jax.Array, params_key, w_extra, pt_ov, ia, ib, ipen, icls, dt_probe):
     """Inside pass.  Returns span-layout tables + luts dict."""
     params = _PARAMS_REGISTRY[params_key]
     n = codes.shape[0]
     dt = dt_probe.dtype
-    L = _luts_f(codes, length, params, w_extra, dt)
+    L = _luts_f(codes, length, params, w_extra, dt, pt_ov)
 
     i_idx = jnp.arange(n)
     t_idx = jnp.arange(n)  # split offsets
@@ -231,7 +231,7 @@ def _inside(codes: jax.Array, length: jax.Array, params_key, w_extra, ia, ib, ip
 
 
 @partial(jax.jit, static_argnums=(2,))
-def _outside(codes, length, params_key, w_extra, ia, ib, ipen, icls,
+def _outside(codes, length, params_key, w_extra, pt_ov, ia, ib, ipen, icls,
              Qb, QbE, Qm1, Qm, Qm2, ql, logZ):
     """Outside pass: log outside values for Qb, then base-pair probabilities.
 
@@ -242,7 +242,7 @@ def _outside(codes, length, params_key, w_extra, ia, ib, ipen, icls,
     params = _PARAMS_REGISTRY[params_key]
     n = codes.shape[0]
     dt = Qb.dtype
-    L = _luts_f(codes, length, params, w_extra, dt)
+    L = _luts_f(codes, length, params, w_extra, dt, pt_ov)
 
     i_idx = jnp.arange(n)
     u_idx = jnp.arange(n)
@@ -404,6 +404,7 @@ def mccaskill_logZ(
     params: EnergyParams | None = None,
     *,
     w_extra: np.ndarray | None = None,
+    pt_override: np.ndarray | None = None,
     dtype=jnp.float32,
 ) -> float:
     """Log partition function of a single sequence (codes in A,C,G,U=0..3)."""
@@ -414,6 +415,7 @@ def mccaskill_logZ(
     key = _register(params)
     *_, logZ = _inside(codes, jnp.asarray(length), key,
                        None if w_extra is None else jnp.asarray(w_extra, dtype),
+                       None if pt_override is None else jnp.asarray(pt_override, jnp.int32),
                        ia, ib, ipen, icls, jnp.zeros((), dtype))
     return float(logZ)
 
@@ -424,6 +426,7 @@ def mccaskill_bpp(
     params: EnergyParams | None = None,
     *,
     w_extra: np.ndarray | None = None,
+    pt_override: np.ndarray | None = None,
     dtype=jnp.float32,
 ) -> tuple[np.ndarray, float]:
     """(bpp, logZ) for one sequence; bpp[i, j] = P(i pairs j), i < j, 0-based.
@@ -437,12 +440,13 @@ def mccaskill_bpp(
     ia, ib, ipen, icls = _prep(params, dtype)
     key = _register(params)
     we = None if w_extra is None else jnp.asarray(w_extra, dtype)
+    po = None if pt_override is None else jnp.asarray(pt_override, jnp.int32)
     Qb, QbE, Qm1, Qm, Qm2, ql, logZ = _inside(
-        codes, jnp.asarray(length), key, we, ia, ib, ipen, icls,
+        codes, jnp.asarray(length), key, we, po, ia, ib, ipen, icls,
         jnp.zeros((), dtype),
     )
     bpp = _outside(
-        codes, jnp.asarray(length), key, we, ia, ib, ipen, icls,
+        codes, jnp.asarray(length), key, we, po, ia, ib, ipen, icls,
         Qb, QbE, Qm1, Qm, Qm2, ql, logZ,
     )
     return np.asarray(bpp), float(logZ)
@@ -482,9 +486,9 @@ def mccaskill_bpp_batch(
         c = codes[b]
         l = jnp.asarray(int(lengths[b]))
         Qb, QbE, Qm1, Qm, Qm2, ql, logZ = _inside(
-            c, l, key, None, ia, ib, ipen, icls, jnp.zeros((), dtype)
+            c, l, key, None, None, ia, ib, ipen, icls, jnp.zeros((), dtype)
         )
-        bpp = _outside(c, l, key, None, ia, ib, ipen, icls,
+        bpp = _outside(c, l, key, None, None, ia, ib, ipen, icls,
                        Qb, QbE, Qm1, Qm, Qm2, ql, logZ)
         pending.append((bpp, logZ))
     bpps = np.stack([np.asarray(b) for b, _ in pending])

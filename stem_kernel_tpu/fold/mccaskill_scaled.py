@@ -149,7 +149,7 @@ def _skew_span_to_ij(s: jax.Array, fill: float) -> jax.Array:
     return sk[:, :n]
 
 
-def _span_tables(codes, length, params, w_extra, dt):
+def _span_tables(codes, length, params, w_extra, dt, pt_ov=None):
     """All LUTs in span layout ([d, i] = lut[i, i+d]).
 
     Returns (log tables dict, exp tables dict): log form for things that
@@ -157,7 +157,7 @@ def _span_tables(codes, length, params, w_extra, dt):
     multiplicative factors.  The layout change is a pad-reshape skew, not a
     gather — gathers under vmap are the XLA-TPU compile-time killer.
     """
-    luts = build_luts(codes, length, params, w_extra)
+    luts = build_luts(codes, length, params, w_extra, pt_override=pt_ov)
     logs, exps = {}, {}
     for k, v in luts.items():
         s = _skew_ij_to_span(v.astype(dt), NEG)
@@ -167,7 +167,7 @@ def _span_tables(codes, length, params, w_extra, dt):
 
 
 @partial(jax.jit, static_argnums=(2,))
-def _inside_scaled(codes, length, params_key, w_extra):
+def _inside_scaled(codes, length, params_key, w_extra, pt_ov):
     """Scaled inside pass.  Returns span-layout scaled tables + offsets.
 
     Output: dict with Qb, Qm1, Qm, Qm2 (n, n) scaled rows; mu (n,) log
@@ -177,7 +177,7 @@ def _inside_scaled(codes, length, params_key, w_extra):
     n = codes.shape[0]
     dt = jnp.float32
 
-    logs, exps = _span_tables(codes, length, params, w_extra, dt)
+    logs, exps = _span_tables(codes, length, params, w_extra, dt, pt_ov)
     wpairS = exps["wpair"]
     hairpinS = logs["hairpin"]  # log form: sets row scale
     i_idx = jnp.arange(n)
@@ -336,13 +336,13 @@ def _inside_scaled(codes, length, params_key, w_extra):
 
 
 @partial(jax.jit, static_argnums=(2,))
-def _outside_scaled(codes, length, params_key, w_extra, ins):
+def _outside_scaled(codes, length, params_key, w_extra, pt_ov, ins):
     """Scaled outside pass -> bpp (n, n) in [i, j] layout."""
     params = _PARAMS_REGISTRY[params_key]
     n = codes.shape[0]
     dt = jnp.float32
 
-    logs, exps = _span_tables(codes, length, params, w_extra, dt)
+    logs, exps = _span_tables(codes, length, params, w_extra, dt, pt_ov)
     i_idx = jnp.arange(n)
 
     kernels = [jnp.asarray(k, dt) for k in _class_kernels(params)]
@@ -517,17 +517,18 @@ def _outside_scaled(codes, length, params_key, w_extra, ins):
     return bpp
 
 
-def _bpp_one(codes, length, params_key, w_extra):
-    ins = _inside_scaled(codes, length, params_key, w_extra)
-    bpp = _outside_scaled(codes, length, params_key, w_extra, ins)
+def _bpp_one(codes, length, params_key, w_extra, pt_ov=None):
+    ins = _inside_scaled(codes, length, params_key, w_extra, pt_ov)
+    bpp = _outside_scaled(codes, length, params_key, w_extra, pt_ov, ins)
     return bpp, ins["logZ"]
 
 
 @partial(jax.jit, static_argnums=(2,))
-def _bpp_vmapped(codes, lengths, params_key, w_extra):
+def _bpp_vmapped(codes, lengths, params_key, w_extra, pt_ov):
     wax = None if w_extra is None else 0
-    return jax.vmap(_bpp_one, in_axes=(0, 0, None, wax))(
-        codes, lengths, params_key, w_extra
+    pax = None if pt_ov is None else 0
+    return jax.vmap(_bpp_one, in_axes=(0, 0, None, wax, pax))(
+        codes, lengths, params_key, w_extra, pt_ov
     )
 
 
@@ -556,8 +557,12 @@ def mccaskill_bpp_batch_scaled(
     params: EnergyParams | None = None,
     *,
     w_extra: np.ndarray | None = None,
+    pt_override: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Batched (bpp, logZ): one vmapped device program for the whole batch.
+
+    ``pt_override`` — optional (B, n, n) int pair-type matrices (-1 = cannot
+    pair) replacing code-derived pair admissibility (see tables.build_luts).
 
     Both the sequence-length axis (bucketed by the caller) and the batch
     axis (bucketed here) are padded so any corpus hits a small, cached set
@@ -586,17 +591,20 @@ def mccaskill_bpp_batch_scaled(
             chunk = codes_np[s : s + cap]
             lens_c = np.asarray(lengths)[s : s + cap]
             we_c = None if w_extra is None else np.asarray(w_extra)[s : s + cap]
-            pending.append(_bpp_dispatch(chunk, lens_c, key, we_c))
+            po_c = (None if pt_override is None
+                    else np.asarray(pt_override)[s : s + cap])
+            pending.append(_bpp_dispatch(chunk, lens_c, key, we_c, po_c))
             if len(pending) > MAX_PENDING:
                 drain_one()
         while pending:
             drain_one()
         return np.concatenate(done_b), np.concatenate(done_z)
-    (bpp, logZ), nb = _bpp_dispatch(codes_np, np.asarray(lengths), key, w_extra)
+    (bpp, logZ), nb = _bpp_dispatch(
+        codes_np, np.asarray(lengths), key, w_extra, pt_override)
     return np.asarray(bpp[:nb]), np.asarray(logZ[:nb])
 
 
-def _bpp_dispatch(codes_np, lens_np, key, w_extra):
+def _bpp_dispatch(codes_np, lens_np, key, w_extra, pt_override=None):
     """Pad one chunk to its batch bucket and dispatch (async)."""
     b, n = codes_np.shape
     b_pad = _batch_bucket(b, n)
@@ -610,4 +618,10 @@ def _bpp_dispatch(codes_np, lens_np, key, w_extra):
             np.pad(np.asarray(w_extra, np.float32),
                    ((0, b_pad - b), (0, 0), (0, 0)))
         )
-    return _bpp_vmapped(codes, lens, key, we), b
+    po = None
+    if pt_override is not None:
+        po = jnp.asarray(
+            np.pad(np.asarray(pt_override, np.int32),
+                   ((0, b_pad - b), (0, 0), (0, 0)), constant_values=-1)
+        )
+    return _bpp_vmapped(codes, lens, key, we, po), b

@@ -47,7 +47,7 @@ class _Sampler:
         ia, ib, ipen, icls = _prep(params, jnp.float64)
         key = _register(params)
         Qb, QbE, Qm1, Qm, Qm2, ql, logZ = _inside(
-            jnp.asarray(codes, jnp.int32), jnp.asarray(n), key, None,
+            jnp.asarray(codes, jnp.int32), jnp.asarray(n), key, None, None,
             ia, ib, ipen, icls, jnp.zeros((), jnp.float64),
         )
         self.Qb = np.asarray(Qb)  # span layout [d, i]

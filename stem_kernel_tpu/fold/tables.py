@@ -49,14 +49,26 @@ def _f(x):
 
 
 def build_luts(
-    codes: jax.Array, length: jax.Array, params: EnergyParams, w_extra
+    codes: jax.Array, length: jax.Array, params: EnergyParams, w_extra,
+    pt_override=None,
 ) -> dict[str, jax.Array]:
-    """All (n, n) log-score LUTs for one sequence (jit-traceable)."""
+    """All (n, n) log-score LUTs for one sequence (jit-traceable).
+
+    ``pt_override`` — optional (n, n) int matrix of pair types (-1 = cannot
+    pair) replacing the code-derived types.  Used by the row-aware ALIFOLD
+    gate (the reference reaches alipf_fold's per-row pair admissibility,
+    /root/reference/common/bpmatrix.cpp:355-397): a column pair is typed by
+    the majority canonical row pair instead of the consensus sequence.
+    """
     n = codes.shape[0]
     ii = jnp.arange(n)
     dmat = ii[None, :] - ii[:, None]  # j - i
 
-    pt = jnp.asarray(PAIR_TYPE)[codes[:, None], codes[None, :]]  # (n, n)
+    if pt_override is None:
+        pt_full = jnp.asarray(PAIR_TYPE)[codes[:, None], codes[None, :]]
+    else:
+        pt_full = pt_override.astype(jnp.int32)  # (n, n)
+    pt = pt_full
     if params.no_gu:
         pt = jnp.where((pt == 2) | (pt == 3), -1, pt)
     in_len = ii[None, :] < length
@@ -69,9 +81,7 @@ def build_luts(
             return jnp.roll(jnp.roll(m, -di, axis=0), -dj, axis=1)
 
         inner_ok = shift2(can, 1, -1) & (dmat > params.min_hairpin + 2)
-        outer_pt = jnp.asarray(PAIR_TYPE)[
-            codes[jnp.clip(ii - 1, 0)][:, None], codes[jnp.clip(ii + 1, 0, n - 1)][None, :]
-        ]
+        outer_pt = shift2(pt_full, -1, 1)  # pair type of (i-1, j+1)
         outer_ok = (
             (outer_pt >= 0)
             & (ii[:, None] >= 1)
@@ -99,8 +109,7 @@ def build_luts(
 
     def pair_at(di: int, dj: int):
         """Pair type of (i+di, j+dj) on the (i, j) grid, -1 out of range."""
-        pi = jnp.clip(ii + di, 0, n - 1)
-        t = jnp.asarray(PAIR_TYPE)[codes[pi][:, None], codes[jnp.clip(ii + dj, 0, n - 1)][None, :]]
+        t = jnp.roll(jnp.roll(pt_full, -di, axis=0), -dj, axis=1)
         valid = ((ii + di)[:, None] >= 0) & ((ii + dj)[None, :] < n) & \
                 ((ii + di)[:, None] < n) & ((ii + dj)[None, :] >= 0)
         return jnp.where(valid, t, -1)

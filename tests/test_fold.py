@@ -87,8 +87,8 @@ def test_bpp_equals_grad_of_logZ():
     key = _register(PARAMS)
 
     def logz(w):
-        *_, z = _inside(codes, jnp.asarray(n), key, w, ia, ib, ipen, icls,
-                        jnp.zeros((), jnp.float64))
+        *_, z = _inside(codes, jnp.asarray(n), key, w, None, ia, ib, ipen,
+                        icls, jnp.zeros((), jnp.float64))
         return z
 
     g = jax.grad(logz)(jnp.zeros((n, n), jnp.float64))
@@ -275,18 +275,49 @@ def test_alifold_covariance_scoring():
         "ggcgaaaacgcc",
         "agcgaaaacgcu",
     ])
-    cons, w_extra = alifold_covariance(aln)
+    cons, w_extra, pt_major = alifold_covariance(aln)
     L = aln.length
     assert w_extra.shape == (L, L)
     # compensatory pair gets a positive covariance bonus
     assert w_extra[0, 11] > 0
     # an unpairable column pair is hard-excluded
     assert w_extra[4, 6] < -1e29  # a:a
+    # majority pair type at (0, 11) is G:C (type 1 = gc)
+    assert pt_major[0, 11] == 1
+    assert pt_major[4, 6] == -1
     bpp = alifold_bpp(aln)
     assert bpp.shape == (L, L)
     assert np.isfinite(bpp).all() and bpp.max() <= 1 + 1e-6
     # the covariance-supported helix shows up in the consensus BPPs
     assert bpp[1, 10] > 0.5
+
+
+def test_alifold_minority_row_pair_not_gated_out():
+    """The ALIFOLD pair gate is row-aware (VERDICT r2 #4): a column pair
+    supported by a MINORITY of rows must get nonzero BPP even though the
+    consensus sequence cannot pair there — alipf_fold semantics
+    (/root/reference/common/bpmatrix.cpp:355-397)."""
+    from stem_kernel_tpu.fold.bpmatrix import alifold_bpp, alifold_covariance
+    from stem_kernel_tpu.io.profile import Alignment
+
+    # columns 0-2 / 9-11: only row 1 pairs (G:C); rows 2-3 have A:C at the
+    # same columns, so the consensus (A) is non-canonical vs C.
+    aln = Alignment(rows=[
+        "gggaaaaaaccc",
+        "aaaaaaaaaccc",
+        "aaaaaaaaaccc",
+    ])
+    cons, w_extra, pt_major = alifold_covariance(aln)
+    # consensus at columns 0-2 is A -> A:C unpairable on the old gate
+    assert cons[0] == 0 and cons[11] == 1
+    # but the row-aware type is the minority row's G:C
+    assert pt_major[0, 11] == 1
+    assert np.isfinite(w_extra[0, 11])  # penalized, not excluded
+    bpp = alifold_bpp(aln)
+    # the minority-supported helix is visible (soft, but clearly nonzero)
+    assert bpp[0, 11] > 1e-3
+    assert bpp[1, 10] > 1e-3
+    assert bpp[2, 9] > 1e-3
 
 
 def test_alifold_consistent_family_close_to_single_fold():
