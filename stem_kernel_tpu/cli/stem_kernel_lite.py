@@ -31,9 +31,10 @@ def add_fold_options(p: argparse.ArgumentParser) -> None:
     p.add_argument("--use-alifold", action="store_true",
                    help="use consensus folding for alignments")
     p.add_argument("--use-contrafold", metavar="PARAMS", default=None,
-                   help="fold with a trained CLLM parameter file "
-                        "(the CONTRAfold-method equivalent; see "
-                        "fold.params.load_params_file for the format)")
+                   help="fold with the CONTRAfold CLLM (fold.contrafold): "
+                        "PARAMS is a CONTRAfold-format weight file, a "
+                        "Vienna .par, or the literal 'default' for the "
+                        "shipped thermodynamically-seeded weights")
 
 
 def fold_opts_from(ns: argparse.Namespace) -> BPMatrixOptions:
@@ -41,9 +42,16 @@ def fold_opts_from(ns: argparse.Namespace) -> BPMatrixOptions:
     (BPMatrix::Options, /root/reference/common/bpmatrix.cpp:45-82)."""
     opts = BPMatrixOptions(alifold=ns.use_alifold)
     if getattr(ns, "use_contrafold", None):
-        from ..fold.params import load_params_file
+        if ns.use_contrafold == "default":
+            from ..fold.contrafold import (
+                contrafold_energy_params, default_weights,
+            )
 
-        opts.params = load_params_file(ns.use_contrafold)
+            opts.params = contrafold_energy_params(default_weights())
+        else:
+            from ..fold.params import load_params_file
+
+            opts.params = load_params_file(ns.use_contrafold)
     if ns.noGU or getattr(ns, "noClosingGU", False) or getattr(ns, "noLonelyPairs", False):
         from ..fold.params import default_params
 

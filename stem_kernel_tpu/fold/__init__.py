@@ -15,8 +15,18 @@ from .bpmatrix import (
     bpp_for_alignments,
     alifold_bpp,
 )
+from .contrafold import (
+    contrafold_bpp,
+    contrafold_energy_params,
+    load_contrafold_params,
+    train_contrafold,
+)
 
 __all__ = [
+    "contrafold_bpp",
+    "contrafold_energy_params",
+    "load_contrafold_params",
+    "train_contrafold",
     "EnergyParams",
     "default_params",
     "mccaskill_logZ",

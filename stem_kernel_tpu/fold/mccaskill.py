@@ -76,9 +76,19 @@ def _interior_offsets(params: EnergyParams):
                 pen = float(loop_len_score(params.bulge_len, params.lxc, nl))
                 cls = _CLS_BUL
             else:
+                if params.interior_asym_table is not None:
+                    at = params.interior_asym_table
+                    asym = float(at[min(nl - ns, len(at) - 1)])
+                else:
+                    asym = max(params.ninio * (nl - ns), params.ninio_max)
                 pen = float(
                     loop_len_score(params.interior_len, params.lxc, ns + nl)
-                ) + max(params.ninio * (nl - ns), params.ninio_max)
+                ) + asym
+                if (params.interior_explicit is not None
+                        and ns <= 4 and nl <= 4):
+                    # CONTRAfold internal_explicit: total (length+asymmetry)
+                    # score for small loops (1x1/1x2/2x2 ride the luts)
+                    pen = float(params.interior_explicit[ns, nl])
                 if ns == 1:  # nl >= 3 here
                     cls = _CLS_1N
                 elif ns == 2 and nl == 3:
@@ -215,11 +225,13 @@ def _inside(codes: jax.Array, length: jax.Array, params_key, w_extra, pt_ov, ia,
         L["ext_stem"], i_idx[None, :], i_idx[None, :] + ext_diag[:, None]
     )  # span layout: ext_stem[i, i+d] added to Qb[d, i]
 
+    c_ext = dt.type(params.ext_unpaired)
+
     def ext_step(ql, j):
         prev = ql[j]  # Ql[j-1]
         qb_col = _span_gather(QbE, j - i_idx, i_idx)  # QbE[k, j] over k
         paired = jax.nn.logsumexp(ql[:n] + qb_col, axis=0)
-        val = jnp.logaddexp(prev, paired)
+        val = jnp.logaddexp(prev + c_ext, paired)
         val = jnp.where(j < length, val, prev)
         ql = ql.at[j + 1].set(val)
         return ql, None
@@ -252,6 +264,8 @@ def _outside(codes, length, params_key, w_extra, pt_ov, ia, ib, ipen, icls,
     cls_in = [L["mm_i_in"], L["mm_1n_in"], L["mm_23_in"], L["term_in"]]
 
     # --- outside of the external chain: OQl[j] over j ---
+    c_ext = dt.type(params.ext_unpaired)
+
     def oql_step(oql, j):
         unpaired = jnp.where(
             j + 1 < length, jnp.take(oql, jnp.clip(j + 1, 0, n - 1)), dt.type(NEG)
@@ -259,7 +273,7 @@ def _outside(codes, length, params_key, w_extra, pt_ov, ia, ib, ipen, icls,
         # pairs (j+1, l): QbE[j+1, l] = QbE_span[l-(j+1), j+1]
         qb_vec = _span_gather(QbE, u_idx - (j + 1), jnp.full((n,), j + 1))
         paired = jax.nn.logsumexp(qb_vec + oql, axis=0)
-        val = jnp.logaddexp(unpaired, paired)
+        val = jnp.logaddexp(unpaired + c_ext, paired)
         val = jnp.where(j == length - 1, dt.type(0.0), val)
         val = jnp.where(j > length - 1, dt.type(NEG), val)
         oql = oql.at[j].set(val)
@@ -380,6 +394,13 @@ def _register(params: EnergyParams) -> str:
         params.ml_close, params.ml_branch, params.ml_unpaired,
         params.max_interior, params.min_hairpin,
         params.no_gu, params.no_closing_gu, params.no_lonely_pairs,
+        params.ext_unpaired, params.ext_paired, params.mismatch_all_hairpins,
+        params.bulge1_no_stack,
+        np.zeros(4) if params.bulge1_nuc is None else params.bulge1_nuc,
+        np.zeros(1) if params.interior_explicit is None
+        else params.interior_explicit,
+        np.zeros(1) if params.interior_asym_table is None
+        else params.interior_asym_table,
     ):
         h.update(np.nan_to_num(
             np.asarray(f, np.float64), neginf=-1e300

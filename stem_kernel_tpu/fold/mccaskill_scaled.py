@@ -314,12 +314,14 @@ def _inside_scaled(codes, length, params_key, w_extra, pt_ov):
     qbe = flat.reshape(m_rows, n + m_rows - 1)[:, :n]  # qbe[t, j] = logQbE[t, j-t]
     qbe_T = qbe.T  # (j, t)
 
+    c_ext = dt(params.ext_unpaired)
+
     def ql_step(c, j):
         qlv, rev = c
         row = qbe_T[j]
         w = jax.lax.dynamic_slice(rev, (n - j + n,), (n,))  # w[t] = Ql[j-t-1]
         paired = jax.nn.logsumexp(row + w)
-        val = jnp.logaddexp(qlv[j], paired)
+        val = jnp.logaddexp(qlv[j] + c_ext, paired)
         val = jnp.where(j < length, val, qlv[j])
         qlv = jax.lax.dynamic_update_slice(qlv, val[None], (j + 1,))
         rev = jax.lax.dynamic_update_slice(rev, val[None], (n - (j + 1) + n,))
@@ -377,7 +379,8 @@ def _outside_scaled(codes, length, params_key, w_extra, pt_ov, ins):
         paired = jnp.where(j + 1 < n, paired, jnp.float32(NEG))
         unp = jnp.where(
             j + 1 < length,
-            jax.lax.dynamic_slice(oql_pad, (jnp.clip(j + 1, 0),), (1,))[0],
+            jax.lax.dynamic_slice(oql_pad, (jnp.clip(j + 1, 0),), (1,))[0]
+            + dt(params.ext_unpaired),
             jnp.float32(NEG),
         )
         val = jnp.logaddexp(unp, paired)

@@ -132,6 +132,15 @@ class EnergyParams:
     no_gu: bool = False  # disallow GU/UG pairs entirely
     no_closing_gu: bool = False  # GU/UG may not close hairpin/multi loops
     no_lonely_pairs: bool = False  # isolated-pair gate (Vienna pf heuristic)
+    # -- CONTRAfold-model switches (fold.contrafold; all default to the
+    #    Vienna conventions above so Turner-model behaviour is unchanged) --
+    ext_unpaired: float = 0.0  # score per unpaired exterior-loop base
+    ext_paired: float = 0.0  # score per exterior-loop branch
+    mismatch_all_hairpins: bool = False  # terminal mismatch at min-size too
+    bulge1_no_stack: bool = False  # bulge-1: helix closings, no stack term
+    bulge1_nuc: np.ndarray | None = None  # (4,) bulged-base identity score
+    interior_explicit: np.ndarray | None = None  # (5, 5) total for n1,n2 <= 4
+    interior_asym_table: np.ndarray | None = None  # per-|n1-n2| asymmetry
 
     # legacy scalar accessors kept for the simple text parameter format
     @property
@@ -254,15 +263,24 @@ def load_params_file(path: str) -> EnergyParams:
       This is the parity path with the reference's folding engine
       (/root/reference/common/bpmatrix.cpp:166-174 delegates to Vienna, whose
       energies come from exactly such a file).
-    - the framework's simple text format (``<name> <value>`` lines), which
-      doubles as the CONTRAfold-style trained-parameter hook
-      (/root/reference/common/bpmatrix.cpp:264-283): any trained log-linear
-      weights expressible over this feature set drive the same engine.
+    - **CONTRAfold weights** (``feature_name value`` lines over the CLLM
+      feature space — see fold.contrafold): mapped onto the same engine
+      tables via contrafold_energy_params.  This is the real CONTRAfold
+      method (/root/reference/common/bpmatrix.cpp:264-283).
+    - the framework's simple text format (``<name> <value>`` lines).
     """
     with open(path) as f:
         first = f.readline()
     if first.startswith("## RNAfold parameter file"):
         return _load_vienna_par(path)
+    from .contrafold import (
+        contrafold_energy_params,
+        is_contrafold_params,
+        load_contrafold_params,
+    )
+
+    if is_contrafold_params(path):
+        return contrafold_energy_params(load_contrafold_params(path))
     return _load_simple(path)
 
 

@@ -78,7 +78,8 @@ class _Sampler:
     def _sample_exterior(self, rng, j, pairs):
         # Ql[j] = Ql[j-1] ⊕ (+)_k Ql[k-1] + Qb[k, j] + ext_stem[k, j]
         while j >= 0:
-            opts = [self.ql[j]]  # j unpaired -> continue at j-1
+            # j unpaired -> continue at j-1 (+ per-base exterior score)
+            opts = [self.ql[j] + self.params.ext_unpaired]
             ks = []
             for k in range(0, j - 3):
                 w = self.ql[k] + self.qb(k, j) + self.L["ext_stem"][k, j]

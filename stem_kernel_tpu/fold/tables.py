@@ -125,25 +125,40 @@ def build_luts(
     hp_len = _f(hp_len_np)[jnp.clip(sizes, 0)]
     mm_h = _f(params.mismatch_h)[ptc, c_ip1[:, None], c_jm1[None, :]]
     term = _f(params.terminal)[ptc]
-    hp_mm = jnp.where(sizes == params.min_hairpin, term, mm_h)
+    if params.mismatch_all_hairpins:  # CONTRAfold: mismatch at every size
+        hp_mm = mm_h
+    else:
+        hp_mm = jnp.where(sizes == params.min_hairpin, term, mm_h)
     hairpin = hp_len + hp_mm + gu_gate
     # special loops override the whole score (length+mismatch), keeping gates
     if params.special_hairpins:
         hairpin = _apply_special_hairpins(hairpin, codes, dmat, params, gu_gate)
     hairpin = jnp.where(can, jnp.maximum(hairpin, NEG), NEG)
 
-    # ---- bulge-1 (keeps stacking, Vienna nl==1) ----
+    # ---- bulge-1 (Vienna: keeps stacking; CONTRAfold: helix closings +
+    #      bulged-base identity instead) ----
     blen1 = float(np.maximum(params.bulge_len[1], NEG))
-    pt_b1l = pair_at(2, -1)  # inner (i+2, j-1)
+    b1nuc = (jnp.zeros((4,)) if params.bulge1_nuc is None
+             else _f(params.bulge1_nuc))
+    term_v = _f(params.terminal)
+
+    def bulge1_score(pt_inner, bulged_base):
+        if params.bulge1_no_stack:
+            pair_part = term_v[ptc] + term_v[jnp.clip(pt_inner, 0)]
+        else:
+            pair_part = _f(params.stack)[ptc, jnp.clip(pt_inner, 0)]
+        return blen1 + pair_part + b1nuc[bulged_base]
+
+    pt_b1l = pair_at(2, -1)  # inner (i+2, j-1); bulged base s[i+1]
     bulge1_l = jnp.where(
         (pt >= 0) & (pt_b1l >= 0),
-        blen1 + _f(params.stack)[ptc, jnp.clip(pt_b1l, 0)],
+        bulge1_score(pt_b1l, c_ip1[:, None]),
         NEG,
     )
-    pt_b1r = pair_at(1, -2)  # inner (i+1, j-2)
+    pt_b1r = pair_at(1, -2)  # inner (i+1, j-2); bulged base s[j-1]
     bulge1_r = jnp.where(
         (pt >= 0) & (pt_b1r >= 0),
-        blen1 + _f(params.stack)[ptc, jnp.clip(pt_b1r, 0)],
+        bulge1_score(pt_b1r, c_jm1[None, :]),
         NEG,
     )
 
@@ -230,7 +245,7 @@ def build_luts(
     dang = jnp.where(
         has5 & has3, both, jnp.where(has5, d5, jnp.where(has3, d3, 0.0))
     )
-    ext_stem = jnp.where(pt >= 0, term + dang, NEG)
+    ext_stem = jnp.where(pt >= 0, term + dang + params.ext_paired, NEG)
 
     return dict(
         wpair=wpair, stack=stack, hairpin=hairpin,

@@ -106,9 +106,12 @@ def structure_score(
 
     score = 0.0
     # ---- exterior loop: d2 dangles + terminal per external branch ----
-    for (k, l) in children_of(-1, n):  # sentinel walk over top level
+    ext_children = children_of(-1, n)  # sentinel walk over top level
+    ext_unpaired_count = n - sum(l - k + 1 for (k, l) in ext_children)
+    score += params.ext_unpaired * ext_unpaired_count
+    for (k, l) in ext_children:
         pt = _pt(s, k, l)
-        score += term(k, l)
+        score += term(k, l) + params.ext_paired
         if k > 0 and l < n - 1:
             score += float(params.mismatch_e[pt, s[k - 1], s[l + 1]])
         elif k > 0:
@@ -135,7 +138,7 @@ def structure_score(
                 score += float(params.special_hairpins[sub])
                 continue
             score += float(hairpin_score(params, size))
-            if size == params.min_hairpin:
+            if size == params.min_hairpin and not params.mismatch_all_hairpins:
                 score += term(i, j)
             else:
                 score += float(params.mismatch_h[pt, s[i + 1], s[j - 1]])
@@ -153,7 +156,13 @@ def structure_score(
             elif ns == 0:
                 score += float(loop_len_score(params.bulge_len, params.lxc, nl))
                 if nl == 1:
-                    score += float(params.stack[pt, pt2])
+                    if params.bulge1_no_stack:
+                        score += term(i, j) + term(k, l)
+                    else:
+                        score += float(params.stack[pt, pt2])
+                    if params.bulge1_nuc is not None:
+                        bulged = s[i + 1] if n1 == 1 else s[j - 1]
+                        score += float(params.bulge1_nuc[bulged])
                 else:
                     score += term(i, j) + term(k, l)
             elif ns == 1 and nl == 1:
@@ -172,10 +181,18 @@ def structure_score(
                     params.int22[pt, rev2, s[i + 1], s[i + 2], s[j - 2], s[j - 1]]
                 )
             else:
-                score += float(
-                    loop_len_score(params.interior_len, params.lxc, ns + nl)
-                )
-                score += max(params.ninio * (nl - ns), params.ninio_max)
+                if (params.interior_explicit is not None
+                        and ns <= 4 and nl <= 4):
+                    score += float(params.interior_explicit[ns, nl])
+                else:
+                    score += float(
+                        loop_len_score(params.interior_len, params.lxc, ns + nl)
+                    )
+                    if params.interior_asym_table is not None:
+                        at = params.interior_asym_table
+                        score += float(at[min(nl - ns, len(at) - 1)])
+                    else:
+                        score += max(params.ninio * (nl - ns), params.ninio_max)
                 if ns == 1:
                     mm = params.mismatch_i1n
                 elif ns == 2 and nl == 3:

@@ -46,6 +46,43 @@ def test_full_model_randomized_tables(seed):
         np.testing.assert_allclose(got_b, want_b, atol=1e-12)
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_contrafold_switches_match_oracle(seed):
+    """The CONTRAfold-model switches (ext_unpaired, mismatch_all_hairpins,
+    bulge1_no_stack + bulge1_nuc, interior_explicit) vs the enumeration
+    oracle, each verified to actually change the fold."""
+    rng = np.random.default_rng(100 + seed)
+    p = random_params(seed)
+    base_z = {}
+    for seq in ["gggaaaccc", "gcaucgaaagcgaugc"]:
+        base_z[seq] = mccaskill_logZ(encode(seq), params=p, dtype=jnp.float64)
+    p.ext_unpaired = float(rng.uniform(-0.3, -0.05))
+    p.ext_paired = float(rng.uniform(-0.5, 0.5))
+    p.mismatch_all_hairpins = True
+    p.bulge1_no_stack = True
+    p.bulge1_nuc = rng.uniform(-0.5, 0.5, 4)
+    p.interior_explicit = rng.uniform(-3.0, -0.5, (5, 5))
+    p.interior_asym_table = np.concatenate(
+        [[0.0], np.cumsum(rng.uniform(-0.4, 0.0, 28))])
+    for seq in ["gggaaaccc", "gcaucgaaagcgaugc", "ggcgaaagccauaaggg"]:
+        codes = encode(seq)
+        want_z, want_b = brute_force_Z_bpp(codes, p)
+        got_b, got_z = mccaskill_bpp(codes, params=p, dtype=jnp.float64)
+        np.testing.assert_allclose(got_z, want_z, rtol=1e-10)
+        np.testing.assert_allclose(got_b, want_b, atol=1e-12)
+        if seq in base_z:
+            assert abs(got_z - base_z[seq]) > 1e-9
+    # scaled f32 engine agrees through the same switches
+    from stem_kernel_tpu.fold.mccaskill_scaled import mccaskill_bpp_batch_scaled
+
+    codes = encode("gcaucgaaagcgaugc")
+    want_z, want_b = brute_force_Z_bpp(codes, p)
+    bpp_s, z_s = mccaskill_bpp_batch_scaled(
+        codes[None, :], np.array([len(codes)]), p)
+    np.testing.assert_allclose(z_s[0], want_z, rtol=5e-5)
+    np.testing.assert_allclose(bpp_s[0], want_b, atol=5e-4)
+
+
 @pytest.mark.parametrize(
     "flag", ["no_gu", "no_closing_gu", "no_lonely_pairs"]
 )
