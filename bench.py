@@ -73,29 +73,39 @@ def bench_stem(seqs):
     alns = [Alignment(rows=[s]) for s in seqs]
     feats, iters = featurize_stem_examples(alns, cfg)
     dev = {k: jnp.asarray(v) for k, v in feats.items()}
-    stem = StemKernel(loop_gap=cfg.loop_gap, beta=cfg.beta, len_band=cfg.len_band)
+    stem = StemKernel(loop_gap=cfg.loop_gap, beta=cfg.beta,
+                      len_band=cfg.len_band, precision=cfg.precision)
+    stem_exact = StemKernel(loop_gap=cfg.loop_gap, beta=cfg.beta,
+                            len_band=cfg.len_band, precision="highest")
 
     rng = np.random.default_rng(1)
     ix0 = jnp.asarray(rng.integers(0, len(seqs), STEM_BATCH).astype(np.int32))
     iy0 = jnp.asarray(rng.integers(0, len(seqs), STEM_BATCH).astype(np.int32))
     n = len(seqs)
 
-    @jax.jit
-    def chained(feats, ix0, iy0):
-        def body(k, acc):
-            # rotate the pair set every iteration: distinct gathers, so XLA
-            # cannot collapse the chain into one evaluation
-            ix = (ix0 + k) % n
-            iy = (iy0 + 2 * k + 1) % n
-            x = {kk: jnp.take(v, ix, axis=0) for kk, v in feats.items()}
-            y = {kk: jnp.take(v, iy, axis=0) for kk, v in feats.items()}
-            return acc + stem(x, y, iters=iters).sum()
+    def make_chained(kern):
+        @jax.jit
+        def chained(feats, ix0, iy0):
+            def body(k, acc):
+                # rotate the pair set every iteration: distinct gathers, so
+                # XLA cannot collapse the chain into one evaluation
+                ix = (ix0 + k) % n
+                iy = (iy0 + 2 * k + 1) % n
+                x = {kk: jnp.take(v, ix, axis=0) for kk, v in feats.items()}
+                y = {kk: jnp.take(v, iy, axis=0) for kk, v in feats.items()}
+                return acc + kern(x, y, iters=iters).sum()
 
-        return jax.lax.fori_loop(0, STEM_CHAIN, body, jnp.float32(0))
+            return jax.lax.fori_loop(0, STEM_CHAIN, body, jnp.float32(0))
+        return chained
 
+    chained = make_chained(stem)
     float(chained(dev, ix0, iy0))  # compile + warmup
     best = _time_best(lambda: float(chained(dev, ix0, iy0)))
     chip_rate = STEM_BATCH * STEM_CHAIN / best
+    chained_x = make_chained(stem_exact)
+    float(chained_x(dev, ix0, iy0))
+    best_x = _time_best(lambda: float(chained_x(dev, ix0, iy0)))
+    exact_rate = STEM_BATCH * STEM_CHAIN / best_x
     # closure fixed point: 4 (B,N,N) matmuls per iteration (2 N^3 MACs each)
     n_nodes = int(dev["u"].shape[1])
     stem_flops_pair = iters * 8 * n_nodes**3
@@ -116,7 +126,7 @@ def bench_stem(seqs):
     for a, b in pairs:
         stem_kernel_ref(dags[a], dags[b], co, cfg.loop_gap, len_band=cfg.len_band)
     oracle_rate = len(pairs) / (time.perf_counter() - t0)
-    return chip_rate, oracle_rate, stem_flops_pair
+    return chip_rate, oracle_rate, stem_flops_pair, exact_rate
 
 
 def bench_bpla():
@@ -187,7 +197,7 @@ def main() -> None:
     rng = np.random.default_rng(0)
     seqs = _hairpins(rng, N_SEQS, SEQ_LEN)
 
-    stem_rate, stem_base, stem_flops = bench_stem(seqs)
+    stem_rate, stem_base, stem_flops, stem_exact_rate = bench_stem(seqs)
     bpla_rate, bpla_base, bpla_flops = bench_bpla()
     fold_rate = bench_fold(seqs)
 
@@ -208,6 +218,7 @@ def main() -> None:
                 "extras": {
                     "stem_numpy_oracle_pairs_per_sec": round(stem_base, 2),
                     "stem_achieved_tflops": round(stem_tfs, 2),
+                    "stem_exact_f32_pairs_per_sec": round(stem_exact_rate, 1),
                     "stem_pct_of_f32_peak": round(100 * stem_tfs * 1e12 / PEAK_F32, 1),
                     "bpla_factored_pairs_per_sec": round(bpla_rate, 1),
                     "bpla_vs_numpy_oracle": round(bpla_rate / bpla_base, 2),

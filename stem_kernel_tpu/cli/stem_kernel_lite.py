@@ -86,6 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="match weight for stacking base pairs (with --no-ribosum)")
     s.add_argument("-v", "--covariant", type=float, default=0.8,
                    help="substitution weight for base pairs (with --no-ribosum)")
+    s.add_argument("--precision", choices=["highest", "high", "default"],
+                   default="high",
+                   help="MXU precision for the stem closure matmuls: "
+                        "'high' (~1e-3 rel, the fast default), 'highest' "
+                        "(full f32, validation), 'default' (bf16)")
     s.add_argument("--length-band", type=int, default=10,
                    help="band of length difference between bases")
     t = p.add_argument_group("Options for the string kernel")
@@ -120,6 +125,7 @@ def main(argv=None) -> int:
         no_string=ns.no_string,
         use_log=ns.log,
         bp_opts=fold_opts_from(ns),
+        precision=ns.precision,
     )
 
     def featurize(alignments):

@@ -293,6 +293,9 @@ def dag_operators(dag: StemDAG, loop_gap: float, n_pad: int) -> dict[str, np.nda
     feats["nbp_frac"][:n] = dag.nbp_frac
     feats["length"][:n] = (dag.last - dag.first).astype(np.float32)
     feats["valid"][:n] = 1.0
+    # per-example match-nesting depth: the pair fixed point converges after
+    # min(depth_x, depth_y) + 1 iterations (ops/pallas_stem dynamic bound)
+    feats["depth"] = np.asarray(dag.depth, np.int32)
     return feats
 
 

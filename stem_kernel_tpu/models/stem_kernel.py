@@ -60,17 +60,31 @@ def simple_co_table(match: float, mismatch: float) -> np.ndarray:
     return t
 
 
-@partial(jax.jit, static_argnames=("iters", "len_band"))
+@partial(jax.jit, static_argnames=("iters", "len_band", "precision"))
 def stem_kernel_pairs(
-    x: dict, y: dict, co_table: jax.Array, *, iters: int, len_band: int = 0
+    x: dict, y: dict, co_table: jax.Array, *, iters: int, len_band: int = 0,
+    precision: str = "highest",
 ) -> jax.Array:
     """Batched stem-kernel values for pairs of DAG feature dicts.
 
     Feature dicts (from dag.dag_matrices, stacked with leading batch axis):
     A (B,N,N), V (B,N,N), u (B,N), leaf (B,N), bp_freq (B,N,16),
     gap2w (B,N), nbp_frac (B,N), length (B,N), valid (B,N).
+
+    ``precision``: MXU pass count for the closure matmuls — "highest"
+    (6-pass bf16 = full f32, the validation mode), "high" (3-pass, ~f24
+    mantissa, ~1e-3 relative on unnormalized values — the shipped default),
+    or "default" (1 bf16 pass).  The final bilinear form always runs at
+    full f32.  Backend routing (measured, BASELINE.md): "highest" runs the
+    VMEM-resident Pallas fixed point (ops/pallas_stem, +14%% over the XLA
+    loop and per-pair dynamic trip counts); "high"/"default" run the XLA
+    batched-einsum loop, whose pipelined batched matmuls win once the MXU
+    pass count drops.
     """
-    hp = jax.lax.Precision.HIGHEST
+    hp = {"highest": jax.lax.Precision.HIGHEST,
+          "high": jax.lax.Precision.HIGH,
+          "default": jax.lax.Precision.DEFAULT}[precision]
+    full = jax.lax.Precision.HIGHEST
     ns = jnp.einsum(
         "bik,kl,bjl->bij", x["bp_freq"], co_table, y["bp_freq"],
         preferred_element_type=jnp.float32, precision=hp,
@@ -91,20 +105,38 @@ def stem_kernel_pairs(
     ns = ns * match_ok
 
     L = x["leaf"][:, :, None] * y["leaf"][:, None, :]
-    VyT = jnp.swapaxes(y["V"], 1, 2)
-    AyT = jnp.swapaxes(y["A"], 1, 2)
 
-    def mm(a, b):
-        return jnp.einsum("bij,bjk->bik", a, b,
-                          preferred_element_type=jnp.float32, precision=hp)
+    # Pallas pads the node axis to 128 lanes, so route small DAG corpora
+    # (N < 96) to the einsum loop where padding waste would dominate.
+    if (jax.default_backend() in ("tpu", "axon") and precision == "highest"
+            and ns.shape[1] >= 96):
+        # VMEM-resident Pallas fixed point: operands load once per pair and
+        # all iterations run on-chip, with per-pair dynamic trip counts
+        from ..ops.pallas_stem import stem_fixed_point
 
-    def body(_, m):
-        g0 = mm(x["V"], mm(m, VyT) + L)
-        return ns * mm(x["A"], mm(g0, AyT))
+        if "depth" in x and "depth" in y:
+            itv = jnp.minimum(x["depth"], y["depth"]).astype(jnp.int32) + 1
+        else:
+            itv = jnp.full((ns.shape[0],), iters, jnp.int32)
+        value = stem_fixed_point(
+            ns, x["V"], y["V"], x["A"], y["A"], L, x["u"], y["u"], itv,
+            max_iters=iters, precision=precision,
+        )
+    else:
+        VyT = jnp.swapaxes(y["V"], 1, 2)
+        AyT = jnp.swapaxes(y["A"], 1, 2)
 
-    m = jax.lax.fori_loop(0, iters, body, jnp.zeros_like(ns))
-    value = jnp.einsum("bi,bij,bj->b", x["u"], m, y["u"],
-                       preferred_element_type=jnp.float32, precision=hp)
+        def mm(a, b):
+            return jnp.einsum("bij,bjk->bik", a, b,
+                              preferred_element_type=jnp.float32, precision=hp)
+
+        def body(_, m):
+            g0 = mm(x["V"], mm(m, VyT) + L)
+            return ns * mm(x["A"], mm(g0, AyT))
+
+        m = jax.lax.fori_loop(0, iters, body, jnp.zeros_like(ns))
+        value = jnp.einsum("bi,bij,bj->b", x["u"], m, y["u"],
+                           preferred_element_type=jnp.float32, precision=full)
     # The leaf-leaf base (K0 = 1) propagates only along the x-side K chain in
     # the reference recursion (K1's IY accumulation never reads it), so its
     # contribution pairs u_x with the RAW root indicator r_y:
@@ -130,6 +162,7 @@ class StemKernel:
         stack: float | None = None,
         covar: float | None = None,
         len_band: int = 0,
+        precision: str = "highest",
     ) -> None:
         if beta is not None:
             self.co_table = jnp.asarray(subst_co_table(beta))
@@ -139,8 +172,10 @@ class StemKernel:
             raise ValueError("need beta (RIBOSUM) or stack/covar (simple)")
         self.loop_gap = loop_gap
         self.len_band = len_band
+        self.precision = precision
 
     def __call__(self, x: dict, y: dict, *, iters: int) -> jax.Array:
         return stem_kernel_pairs(
-            x, y, self.co_table, iters=iters, len_band=self.len_band
+            x, y, self.co_table, iters=iters, len_band=self.len_band,
+            precision=self.precision,
         )

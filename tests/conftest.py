@@ -17,6 +17,11 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)  # f64 validation paths in fold tests
+# No persistent compilation cache under tests: cache writes have segfaulted
+# when racing concurrent processes on the shared dir, and CPU test compiles
+# polluting the on-disk cache buys nothing (the cache exists to keep WARM
+# TPU CLI runs warm).
+jax.config.update("jax_enable_compilation_cache", False)
 
 # Build the native C++ library once per test session so test_native.py (and
 # the SMO/DAG fast paths throughout the suite) run against the real thing
@@ -41,3 +46,20 @@ def _ensure_native_lib() -> None:
 
 
 _ensure_native_lib()
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules.
+
+    With ~190 tests compiling hundreds of large CPU programs in one
+    process, XLA segfaulted deterministically partway through the suite
+    (in backend_compile / cache-write, same index both runs); dropping
+    dead executables at module boundaries keeps the process healthy at
+    the cost of some cross-module recompiles.
+    """
+    yield
+    jax.clear_caches()
