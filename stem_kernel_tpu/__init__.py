@@ -33,3 +33,22 @@ keio-bioinformatics/stem_kernel (reference mounted at /root/reference):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compile_cache() -> None:
+    """Persist XLA executables across processes, for EVERY import path.
+
+    This was previously done only by the CLI driver (cli/app.py); library
+    users and scripts importing the package directly paid the full
+    compile cost (minutes for the fold engines) in every fresh process.
+    Tests override by disabling the compilation cache in conftest.
+    """
+    import jax
+
+    if jax.config.jax_compilation_cache_dir is None:
+        jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/stem_kernel_tpu_jax_cache"
+        )
+
+
+_enable_compile_cache()
