@@ -182,6 +182,52 @@ def bench_bpla():
     return chip_rate, oracle_rate, flops_pair
 
 
+FS_N = 300
+FS_BAND = 16
+FS_BATCH = 8
+FS_CHAIN = 4
+
+
+def bench_full_stem():
+    """Banded full O(n^4) stem kernel pairs/s at the config-3 regime
+    (n=m=300, band=16) — the workload the dense-memory path could not hold
+    (VERDICT r2 missing #2; reference stem_kernel/stem_kernel.cpp:165-246).
+    """
+    from stem_kernel_tpu.models.full_stem import (
+        full_stem_kernel_banded, pair_weights,
+    )
+
+    rng = np.random.default_rng(5)
+    comp = {0: 3, 1: 2, 2: 1, 3: 0}
+    codes = np.zeros((FS_BATCH, FS_N), np.uint8)
+    bp = np.zeros((FS_BATCH, FS_N, FS_N), np.float32)
+    for b in range(FS_BATCH):
+        stem = rng.integers(0, 4, FS_N // 3)
+        rc = np.array([comp[int(c)] for c in stem[::-1]], np.uint8)
+        mid = rng.integers(0, 4, FS_N - 2 * len(stem))
+        c = np.concatenate([stem, mid, rc]).astype(np.uint8)
+        codes[b] = c
+        bp[b] = pair_weights(c, FS_N)
+    lx = jnp.full((FS_BATCH,), FS_N, jnp.int32)
+    dx = jnp.asarray(codes)
+    dbp = jnp.asarray(bp)
+
+    @jax.jit
+    def chained(xc, xbp):
+        def body(k, acc):
+            yc = jnp.roll(xc, k + 1, axis=0)
+            ybp = jnp.roll(xbp, k + 1, axis=0)
+            v = full_stem_kernel_banded(xc, yc, lx, lx, xbp, ybp,
+                                        0.8, 1.0, 0.5, band=FS_BAND)
+            return acc + v.sum()
+
+        return jax.lax.fori_loop(0, FS_CHAIN, body, jnp.float32(0))
+
+    float(chained(dx, dbp))  # compile + warmup
+    best = _time_best(lambda: float(chained(dx, dbp)), reps=3)
+    return FS_BATCH * FS_CHAIN / best
+
+
 def bench_fold(seqs):
     """Fold seqs/s through the batched scaled McCaskill engine (incl. the
     device->host BPP fetch, i.e. what the Gram pipeline actually pays)."""
@@ -200,6 +246,7 @@ def main() -> None:
     stem_rate, stem_base, stem_flops, stem_exact_rate = bench_stem(seqs)
     bpla_rate, bpla_base, bpla_flops = bench_bpla()
     fold_rate = bench_fold(seqs)
+    fs_rate = bench_full_stem()
 
     # achieved FLOP/s from each kernel's own cost model; peak: TPU v5e chip,
     # 197 TF/s bf16 MXU / ~98 TF/s f32 — these kernels run f32 accumulation,
@@ -226,6 +273,7 @@ def main() -> None:
                     "bpla_achieved_tflops": round(bpla_tfs, 2),
                     "bpla_pct_of_f32_peak": round(100 * bpla_tfs * 1e12 / PEAK_F32, 1),
                     "fold_seqs_per_sec": round(fold_rate, 1),
+                    "full_stem_banded_n300_pairs_per_sec": round(fs_rate, 2),
                 },
             }
         )

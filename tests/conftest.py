@@ -17,11 +17,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)  # f64 validation paths in fold tests
-# No persistent compilation cache under tests: cache writes have segfaulted
-# when racing concurrent processes on the shared dir, and CPU test compiles
-# polluting the on-disk cache buys nothing (the cache exists to keep WARM
-# TPU CLI runs warm).
-jax.config.update("jax_enable_compilation_cache", False)
+# Tests use their OWN persistent cache dir: sharing the product cache
+# (/tmp/stem_kernel_tpu_jax_cache) risks racing concurrent TPU processes
+# (a cache write segfaulted under contention) and pollutes the cache that
+# exists to keep warm TPU CLI runs warm — while a private dir still saves
+# minutes of CPU recompiles across suite runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/stem_kernel_tpu_test_cache")
 
 # Build the native C++ library once per test session so test_native.py (and
 # the SMO/DAG fast paths throughout the suite) run against the real thing

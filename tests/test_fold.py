@@ -329,6 +329,29 @@ def test_alifold_covariance_scoring():
     assert bpp[1, 10] > 0.5
 
 
+def test_pt_override_scaled_matches_log_engine():
+    """Explicit pair-type override: both engines agree (f32 vs f64), and
+    the override actually changes the fold vs the code-derived gate."""
+    from stem_kernel_tpu.fold.mccaskill_scaled import mccaskill_bpp_batch_scaled
+    from stem_kernel_tpu.fold.params import PAIR_TYPE
+
+    seq = "gggaaaaaaccc"
+    codes = encode(seq)
+    n = len(codes)
+    pt = PAIR_TYPE[codes[:, None], codes[None, :]].copy()
+    assert pt[3, 8] < 0  # a:a — non-canonical under the code-derived gate
+    pt[3, 8] = 4  # force A:U typing for (3, 8)
+    pt[8, 3] = 5
+    b_log, z_log = mccaskill_bpp(codes, params=PARAMS, pt_override=pt,
+                                 dtype=jnp.float64)
+    b_s, z_s = mccaskill_bpp_batch_scaled(
+        codes[None, :], np.array([n]), PARAMS, pt_override=pt[None])
+    np.testing.assert_allclose(z_s[0], z_log, rtol=5e-5)
+    np.testing.assert_allclose(b_s[0], b_log, atol=5e-4)
+    z_plain = mccaskill_logZ(codes, params=PARAMS, dtype=jnp.float64)
+    assert abs(z_log - z_plain) > 1e-9
+
+
 def test_alifold_minority_row_pair_not_gated_out():
     """The ALIFOLD pair gate is row-aware (VERDICT r2 #4): a column pair
     supported by a MINORITY of rows must get nonzero BPP even though the
