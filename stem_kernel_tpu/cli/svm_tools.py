@@ -119,5 +119,21 @@ def predict_main(argv=None) -> int:
     return 0
 
 
+def main(argv=None) -> int:
+    """`python -m stem_kernel_tpu.cli.svm_tools [train|predict] ...`.
+
+    With no subcommand, defaults to train (back-compat with the bare
+    `svm_tools km.dat` usage; console scripts skt-svm-train /
+    skt-svm-predict call train_main / predict_main directly)."""
+    import sys
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "train":
+        return train_main(argv[1:])
+    if argv and argv[0] == "predict":
+        return predict_main(argv[1:])
+    return train_main(argv)
+
+
 if __name__ == "__main__":
-    raise SystemExit(train_main())
+    raise SystemExit(main())

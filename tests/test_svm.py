@@ -204,6 +204,29 @@ def test_svm_tools_variant_cli(tmp_path):
     assert np.corrcoef(pred, z)[0, 1] > 0.98
 
 
+def test_svm_tools_module_subcommand_dispatch(tmp_path):
+    """`python -m ...svm_tools train|predict ...` (the README workflow)
+    dispatches to the right entry point; bare usage stays train."""
+    from stem_kernel_tpu.cli.svm_tools import main
+    from stem_kernel_tpu.gram.io import write_precomputed
+
+    rng = np.random.default_rng(4)
+    X = rng.normal(0, 1, (20, 3))
+    y = np.where(X[:, 0] > 0, 1, -1)
+    K = X @ X.T
+    mat = str(tmp_path / "km.dat")
+    write_precomputed(mat, [f"{v:+d}" for v in y], K)
+    model = str(tmp_path / "km.model")
+    assert main(["train", mat, model]) == 0
+    out = str(tmp_path / "p.txt")
+    assert main(["predict", mat, model, out]) == 0
+    assert len(open(out).read().splitlines()) == 20
+    # bare (no subcommand) = train, matrix-derived model name
+    assert main([mat]) == 0
+    import os
+    assert os.path.exists(mat + ".model")
+
+
 def test_nu_svc_matches_equivalent_c_svc():
     """LIBSVM property (svm.cpp solve_nu_svc): the scaled nu-SVC solution is
     the C-SVC solution at C = 1/r, so decision values must agree."""
