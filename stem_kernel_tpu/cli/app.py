@@ -52,6 +52,7 @@ class AppOptions:
     pf_files: list[str] = field(default_factory=list)
     pf_ts_files: list[str] = field(default_factory=list)
     stream_chunk: int = 64  # test examples featurized per predict chunk
+    devices: int = 0  # 0 = all global devices; 1 = single-device dispatch
 
 
 def add_common_options(p: argparse.ArgumentParser) -> None:
@@ -67,6 +68,14 @@ def add_common_options(p: argparse.ArgumentParser) -> None:
                    help="output file name of prediction results")
     p.add_argument("-t", "--threads", type=int, default=1,
                    help="accepted for compatibility (parallelism is device-mesh based)")
+    p.add_argument("--devices", type=int, default=0,
+                   help="shard the Gram pair axis over this many devices "
+                        "(0 = every visible device; the multi-chip analogue "
+                        "of the reference's mpirun rank count).  Multi-host "
+                        "runs additionally set JAX_COORDINATOR_ADDRESS / "
+                        "JAX_NUM_PROCESSES / JAX_PROCESS_ID per process")
+    p.add_argument("--single-device", action="store_true",
+                   help="force plain single-device dispatch (same as --devices 1)")
     p.add_argument("--trace-dir", default="",
                    help="write a jax.profiler trace of the run to this "
                         "directory (view with TensorBoard / xprof)")
@@ -106,6 +115,7 @@ def parse_positional(ns: argparse.Namespace) -> AppOptions:
     )
     opts.use_pf_scale_file = getattr(ns, "use_pf_scale_file", False)
     opts.stream_chunk = getattr(ns, "stream_chunk", 64)
+    opts.devices = 1 if getattr(ns, "single_device", False) else getattr(ns, "devices", 0)
     if "--test" in extra:
         opts.predict_mode = True
         x = extra.index("--test")
@@ -208,8 +218,23 @@ def run_app(
     ``merge_aux``: combine train and test-chunk featurizer aux (e.g. ``max``
     for iteration bounds) when streaming predict chunks; None reuses the
     train aux.
+
+    Device setup happens HERE, inside the binary — the shipped CLIs are the
+    distributed programs, exactly as the reference's binaries are the MPI
+    entry points (MPIState in main(), /root/reference/common/framework.h:
+    418-433): `jax.distributed` is initialized from the environment (no-op
+    single-host), the Gram pair axis is sharded over all visible devices
+    (``--devices N`` / ``--single-device`` narrow it), and file output is
+    gated on process 0 (framework.h:135-163).  An explicit ``mesh=``
+    argument overrides the flag-resolved mesh (library use).
     """
     enable_compile_cache()
+    if mesh is None:
+        from ..parallel.distributed import initialize
+        from ..parallel.mesh import resolve_mesh
+
+        initialize()
+        mesh = resolve_mesh(getattr(opts, "devices", 0))
     if opts.trace_dir:
         import contextlib
 
@@ -230,6 +255,9 @@ def run_app(
 
 def _run_app_inner(opts, featurize, make_kernel_fn, *, batch_size, mesh,
                    log_kernel, featurize_buckets=None, merge_aux=None):
+    from ..parallel.mesh import process_zero
+
+    io_rank = process_zero()  # rank-0 I/O (framework.h:135-163)
     t_start = time.time()
     counts: list[int] | None = [] if opts.use_pf_scale_file else None
     train_alns, train_labels = load_labeled(opts.labels, opts.files,
@@ -251,7 +279,8 @@ def _run_app_inner(opts, featurize, make_kernel_fn, *, batch_size, mesh,
             eng = PairKernelEngine(kernel_fn, feats, batch_size=batch_size,
                                    mesh=mesh, log_values=log_kernel)
             g = eng.gram(normalize=opts.normalize)
-        write_precomputed(opts.output, train_labels, g)
+        if io_rank:
+            write_precomputed(opts.output, train_labels, g)
         print(f"elapsed time: {time.time()-t_start:.1f}s", file=sys.stderr)
         return
 
@@ -317,13 +346,13 @@ def _run_app_inner(opts, featurize, make_kernel_fn, *, batch_size, mesh,
     self_vals = (np.concatenate(all_self) if all_self
                  else np.zeros((0,), np.float64))
 
-    if not opts.predict_only:
+    if not opts.predict_only and io_rank:
         with _open_write(opts.output) as f:
             write_rows(f, test_labels, norm_rows)
-    if opts.norm_output:
+    if opts.norm_output and io_rank:
         write_norm(opts.norm_output, self_vals)
 
-    for model, out_path in zip(models, opts.predict_outputs or
+    for model, out_path in zip(models if io_rank else [], opts.predict_outputs or
                                [f"{opts.output}.pred{i}" for i in range(len(models))]):
         with open(out_path, "w") as f:
             for t, label in enumerate(test_labels):

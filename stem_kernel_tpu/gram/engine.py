@@ -139,7 +139,16 @@ class PairKernelEngine:
             )
             return vals.reshape(-1)
 
-        fn = jax.jit(slab)
+        if self.mesh is not None:
+            # Replicate the slab output: the all-gather equivalent of the
+            # reference's Ssend/Recv gather to rank 0 (kernel_matrix.cpp:
+            # 225-261) — and, in multi-controller runs, the only way every
+            # process can fetch the values to host.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            fn = jax.jit(slab, out_shardings=NamedSharding(self.mesh, P()))
+        else:
+            fn = jax.jit(slab)
         if cache is _SLAB_FN_CACHE and len(cache) >= _SLAB_FN_CACHE_MAX:
             cache.pop(next(iter(cache)))
         cache[key] = fn

@@ -25,12 +25,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def initialize(coordinator: str | None = None, num_processes: int | None = None,
                process_id: int | None = None) -> None:
-    """jax.distributed.initialize when multi-host; silently no-op otherwise."""
-    if coordinator is None and num_processes is None:
-        import os
+    """jax.distributed.initialize when multi-host; silently no-op otherwise.
 
-        if "JAX_COORDINATOR_ADDRESS" not in os.environ:
+    Launch contract (the mpirun-analogue): set ``JAX_COORDINATOR_ADDRESS``
+    (host:port) plus, when auto-detection does not apply,
+    ``JAX_NUM_PROCESSES`` and ``JAX_PROCESS_ID`` in each process's
+    environment — every shipped CLI calls this at startup
+    (cli.app.run_app), so the binaries themselves are the multi-host
+    programs, like the reference's MPI mains
+    (/root/reference/common/framework.h:418-433).
+    Re-initialization (e.g. two run_app calls in one process) is a no-op.
+    """
+    import os
+
+    if getattr(jax.distributed, "is_initialized", lambda: False)():
+        return
+    env = os.environ
+    if coordinator is None and num_processes is None:
+        if "JAX_COORDINATOR_ADDRESS" not in env:
             return  # single host
+        coordinator = env["JAX_COORDINATOR_ADDRESS"]
+        if num_processes is None and "JAX_NUM_PROCESSES" in env:
+            num_processes = int(env["JAX_NUM_PROCESSES"])
+        if process_id is None and "JAX_PROCESS_ID" in env:
+            process_id = int(env["JAX_PROCESS_ID"])
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,

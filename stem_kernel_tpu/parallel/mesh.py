@@ -24,14 +24,53 @@ def default_mesh(devices=None) -> Mesh:
     return Mesh(np.array(devices), (PAIR_AXIS,))
 
 
+def resolve_mesh(n_devices: int = 0) -> Mesh | None:
+    """Mesh for a CLI run: ``n_devices`` = 0 means every global device.
+
+    The reference's binaries ARE the MPI programs — rank setup happens inside
+    main() (/root/reference/common/framework.h:418-433); this is the TPU
+    analogue used by cli.app.run_app.  Returns None (plain single-device
+    dispatch, no shard_map) when the resolved device count is 1.
+    """
+    devices = jax.devices()
+    if n_devices > 0:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"--devices {n_devices} requested but only "
+                f"{len(devices)} JAX devices are visible"
+            )
+        devices = devices[:n_devices]
+    if len(devices) == 1:
+        return None
+    return Mesh(np.array(devices), (PAIR_AXIS,))
+
+
+def put(mesh: Mesh, arr, spec: P) -> jax.Array:
+    """device_put that also works when ``mesh`` spans multiple processes.
+
+    Multi-controller runs (jax.distributed) cannot ``device_put`` onto
+    non-addressable devices; every process holds the same host array, so the
+    global array is assembled from per-device callbacks instead (the
+    reference ships full buffers to every rank too — the optimizer's Bcast
+    merge, /root/reference/bpla_kernel/bpla_optimizer.cpp:85-107).
+    """
+    sharding = NamedSharding(mesh, spec)
+    if sharding.is_fully_addressable:
+        return jax.device_put(arr, sharding)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+
 def shard_pairs(mesh: Mesh, arr: jax.Array) -> jax.Array:
     """Shard the leading (pair-batch) axis of ``arr`` across the mesh."""
     spec = P(PAIR_AXIS, *([None] * (arr.ndim - 1)))
-    return jax.device_put(arr, NamedSharding(mesh, spec))
+    return put(mesh, arr, spec)
 
 
 def replicate(mesh: Mesh, tree):
     """Fully replicate a pytree of arrays across the mesh."""
+    if not NamedSharding(mesh, P()).is_fully_addressable:
+        return jax.tree.map(lambda a: put(mesh, a, P()), tree)
     return jax.device_put(tree, NamedSharding(mesh, P()))
 
 

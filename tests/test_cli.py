@@ -310,3 +310,37 @@ def test_streaming_predict_bounded_chunks(tmp_path):
     lb, gb = read_precomputed(out_b)
     assert la == lb
     np.testing.assert_allclose(ga, gb, rtol=1e-5, atol=1e-7)
+
+
+def test_cli_mesh_matches_single_device(tmp_path):
+    """Default CLI runs shard over every visible device (8 virtual CPUs here);
+    values must equal plain single-device dispatch.  Covers both the bucketed
+    stem_kernel_lite train path and the streaming predict path through the
+    flag-resolved mesh (VERDICT r3 #1)."""
+    import jax
+
+    assert jax.device_count() == 8  # conftest's virtual CPU mesh
+    pos_fa, neg_fa = setup_data(tmp_path)
+    out_mesh = str(tmp_path / "km_mesh.dat")
+    out_one = str(tmp_path / "km_one.dat")
+    args = ["-n", "+1", pos_fa, "-1", neg_fa]
+    assert stem_kernel_lite.main([args[0], out_mesh] + args[1:]) == 0
+    assert stem_kernel_lite.main(
+        [args[0], out_one, "--single-device"] + args[1:]) == 0
+    la, ga = read_precomputed(out_mesh)
+    lb, gb = read_precomputed(out_one)
+    assert la == lb
+    np.testing.assert_allclose(ga, gb, rtol=2e-4, atol=2e-6)
+
+    # predict flow: mesh vs single device
+    test_fa = write_family(tmp_path, "test.fa", [mutate(HAIRPIN) for _ in range(3)])
+    rows_mesh = str(tmp_path / "rows_mesh.dat")
+    rows_one = str(tmp_path / "rows_one.dat")
+    base = ["-n", "+1", pos_fa, "-1", neg_fa, "--test", "+1", test_fa]
+    assert stem_kernel_lite.main([base[0], rows_mesh] + base[1:]) == 0
+    assert stem_kernel_lite.main(
+        [base[0], rows_one, "--single-device"] + base[1:]) == 0
+    la, ga = read_precomputed(rows_mesh)
+    lb, gb = read_precomputed(rows_one)
+    assert la == lb
+    np.testing.assert_allclose(ga, gb, rtol=2e-4, atol=2e-6)
