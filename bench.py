@@ -192,10 +192,11 @@ def bench_full_stem():
     """Banded full O(n^4) stem kernel pairs/s at the config-3 regime
     (n=m=300, band=16) — the workload the dense-memory path could not hold
     (VERDICT r2 missing #2; reference stem_kernel/stem_kernel.cpp:165-246).
+    Round 4: the VMEM-resident Pallas engine (ops.pallas_full_stem) with
+    log-valued scaled states (raw f32 overflows at this regime).
     """
-    from stem_kernel_tpu.models.full_stem import (
-        full_stem_kernel_banded, pair_weights,
-    )
+    from stem_kernel_tpu.models.full_stem import pair_weights
+    from stem_kernel_tpu.ops.pallas_full_stem import full_stem_banded_pallas_log
 
     rng = np.random.default_rng(5)
     comp = {0: 3, 1: 2, 2: 1, 3: 0}
@@ -212,19 +213,17 @@ def bench_full_stem():
     dx = jnp.asarray(codes)
     dbp = jnp.asarray(bp)
 
-    @jax.jit
-    def chained(xc, xbp):
-        def body(k, acc):
-            yc = jnp.roll(xc, k + 1, axis=0)
-            ybp = jnp.roll(xbp, k + 1, axis=0)
-            v = full_stem_kernel_banded(xc, yc, lx, lx, xbp, ybp,
-                                        0.8, 1.0, 0.5, band=FS_BAND)
-            return acc + v.sum()
+    rolls = [(jnp.roll(dx, k + 1, axis=0), jnp.roll(dbp, k + 1, axis=0))
+             for k in range(FS_CHAIN)]
 
-        return jax.lax.fori_loop(0, FS_CHAIN, body, jnp.float32(0))
+    def run_once():
+        vs = [full_stem_banded_pallas_log(dx, yc, lx, lx, dbp, ybp,
+                                          0.8, 1.0, 0.5, band=FS_BAND)
+              for yc, ybp in rolls]
+        return float(sum(v.sum() for v in vs))
 
-    float(chained(dx, dbp))  # compile + warmup
-    best = _time_best(lambda: float(chained(dx, dbp)), reps=3)
+    run_once()  # compile + warmup
+    best = _time_best(run_once, reps=3)
     return FS_BATCH * FS_CHAIN / best
 
 

@@ -66,7 +66,40 @@ def main(argv=None) -> int:
             bp[i, : len(c), : len(c)] = w
         return {"codes": codes, "length": lens, "bp": bp}, None
 
+    # -b/--band-width without PHMM constraints routes to the banded
+    # windowed-memory engine (log-valued + scaled: no f32 overflow at any
+    # length; staircase anchors handle lx != ly — partial_dp's band branch,
+    # /root/reference/stem_kernel/stem_kernel.cpp:70-76,165-246).  On TPU
+    # it runs the VMEM-resident Pallas kernel (ops.pallas_full_stem);
+    # elsewhere the XLA scan.  The dense O(n^4)-state path remains for
+    # band=0 and for PHMM posterior windows.
+    use_banded = ns.band_width > 0 and ns.alignment_constraint <= 0.0
+
     def make_fn(_aux):
+        if use_banded:
+            import jax
+
+            on_tpu = jax.default_backend() == "tpu"
+
+            def kernel_fn(x, y):
+                if on_tpu:
+                    from ..ops.pallas_full_stem import full_stem_banded_pallas_log
+
+                    return full_stem_banded_pallas_log(
+                        x["codes"], y["codes"], x["length"], y["length"],
+                        x["bp"], y["bp"], ns.gap, ns.stack, ns.substitution,
+                        band=ns.band_width,
+                    )
+                from ..models.full_stem import full_stem_kernel_banded_log
+
+                return full_stem_kernel_banded_log(
+                    x["codes"], y["codes"], x["length"], y["length"],
+                    x["bp"], y["bp"], ns.gap, ns.stack, ns.substitution,
+                    band=ns.band_width,
+                )
+
+            return kernel_fn
+
         def kernel_fn(x, y):
             win_lo = win_hi = None
             if ns.alignment_constraint > 0.0:
@@ -85,7 +118,7 @@ def main(argv=None) -> int:
 
         return kernel_fn
 
-    run_app(opts, featurize, make_fn, batch_size=16)
+    run_app(opts, featurize, make_fn, batch_size=16, log_kernel=use_banded)
     return 0
 
 

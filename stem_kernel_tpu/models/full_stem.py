@@ -161,8 +161,14 @@ def full_stem_kernel(
         if band > 0:
             # per-position diagonal windows: k near image of i, l near image of j
             kl = jnp.arange(m + 1)
-            ci = jnp.round(i_idx[None, :] / jnp.maximum(lx[:, None], 1) * ly[:, None])
-            cj = jnp.round(jnp.minimum(i_idx[None, :] + d, n) / jnp.maximum(lx[:, None], 1) * ly[:, None])
+            # floor(x + 0.5), matching the reference's uint(double(i)/n*m + 0.5)
+            # (stem_kernel.cpp:70-76) and the banded kernel's staircase anchor
+            ci = jnp.floor(
+                jnp.minimum(i_idx[None, :], lx[:, None]) / jnp.maximum(lx[:, None], 1)
+                * ly[:, None] + 0.5)
+            cj = jnp.floor(
+                jnp.minimum(jnp.minimum(i_idx[None, :] + d, n), lx[:, None])
+                / jnp.maximum(lx[:, None], 1) * ly[:, None] + 0.5)
             k_ok = jnp.abs(kl[None, None, :] - ci[:, :, None]) <= band
             l_ok = jnp.abs(kl[None, None, :] - cj[:, :, None]) <= band
             bm = (k_ok[:, :, :, None] & l_ok[:, :, None, :]).astype(dt)
@@ -223,184 +229,346 @@ def full_stem_kernel(
     return outs[lx, jnp.arange(bsz), ly]
 
 
-@partial(jax.jit, static_argnames=("band",))
-def full_stem_kernel_banded(
+def _staircase_anchor(lx: jax.Array, ly: jax.Array, n: int):
+    """Monotone window anchors a[t] = floor(min(t, lx) * ly / lx + 0.5).
+
+    The reference's scaled-diagonal band center
+    (/root/reference/stem_kernel/stem_kernel.cpp:70-76:
+    ``j = uint(double(i)/x.size()*y.size()+0.5)``), evaluated per pair.
+    Requires ly <= lx so consecutive anchors differ by 0 or 1 (the
+    conditional-shift window algebra below relies on it); callers swap the
+    pair otherwise (the kernel is symmetric).  Returns (a, delta_k) with
+    a: (B, n+1) int32 and delta_k[t] = a[t+1] - a[t] in {0, 1}.
+    """
+    t = jnp.arange(n + 1)
+    lx_ = jnp.maximum(lx, 1).astype(jnp.float32)
+    a = jnp.floor(
+        jnp.minimum(t[None, :], lx[:, None]).astype(jnp.float32)
+        * ly[:, None].astype(jnp.float32) / lx_[:, None] + 0.5
+    ).astype(jnp.int32)  # (B, n+1)
+    delta_k = jnp.concatenate(
+        [a[:, 1:] - a[:, :-1], jnp.zeros_like(a[:, :1])], axis=1
+    )  # (B, n+1), in {0, 1}
+    return a, delta_k
+
+
+def _banded_precompute(x_codes, y_codes, lx, ly, bp_x, bp_y, band: int,
+                       with_eg: bool = True):
+    """Device-side, once-per-batch ingredients for the banded scan.
+
+    Everything the level scan needs is either carried state or one of these
+    tensors consumed by cheap dynamic slices — the scan body itself contains
+    NO gathers (the round-3 banded kernel gathered (B,n,W,W) windows every
+    step, which dominated its 8 pairs/s).
+    """
+    bsz, n = x_codes.shape
+    W = 2 * band + 1
+    a, delta_k = _staircase_anchor(lx, ly, n)
+    i_idx = jnp.arange(n + 1)
+    w_idx = jnp.arange(W)
+
+    # a padded so a[i+d] reads are dynamic slices: a_pad[:, t] = a[min(t, n)]
+    a_pad = jnp.concatenate([a, jnp.broadcast_to(a[:, -1:], (bsz, n))], axis=1)
+    dk_pad = jnp.concatenate([delta_k, jnp.zeros((bsz, n), jnp.int32)], axis=1)
+
+    # absolute k of (block i, slot wk): a[i] - band + wk
+    k_abs = a[:, :, None] - band + w_idx[None, None, :]  # (B, n+1, W)
+    k_ok = (k_abs >= 0) & (k_abs < ly[:, None, None])
+    kk = jnp.clip(k_abs, 0, n - 1)
+
+    # eq1_win[b, i, wk] = (x[i] == y[k_abs])  (d-independent)
+    xi = jnp.where(
+        i_idx[None, :] < lx[:, None],
+        jnp.take_along_axis(
+            x_codes,
+            jnp.broadcast_to(jnp.minimum(i_idx, n - 1)[None, :], (bsz, n + 1)),
+            1,
+        ),
+        255,
+    )
+    yk = jnp.take_along_axis(y_codes, kk.reshape(bsz, -1), 1).reshape(bsz, n + 1, W)
+    eq1_win = (xi[:, :, None] == yk) & k_ok
+
+    # E2pad[b, r + ?]: E2[b, r, wl] = (x[r] == y[a[r+1] - band + wl - 1]),
+    # read at r = i + d - 1 via a dynamic slice of the padded copy.
+    r_idx = jnp.arange(n + 1)
+    xr = jnp.where(r_idx[None, :] < lx[:, None],
+                   jnp.take_along_axis(
+                       x_codes, jnp.broadcast_to(
+                           jnp.minimum(r_idx, n - 1)[None, :], (bsz, n + 1)), 1),
+                   255)
+    a_r1 = a_pad[:, 1:n + 2]  # a[r+1]
+    l_abs_e2 = a_r1[:, :, None] - band + w_idx[None, None, :] - 1
+    l_ok_e2 = (l_abs_e2 >= 0) & (l_abs_e2 < ly[:, None, None])
+    yl = jnp.take_along_axis(
+        y_codes, jnp.clip(l_abs_e2, 0, n - 1).reshape(bsz, -1), 1
+    ).reshape(bsz, n + 1, W)
+    E2 = (xr[:, :, None] == yl) & l_ok_e2  # (B, n+1, W)
+    E2pad = jnp.concatenate([E2, jnp.zeros((bsz, n, W), bool)], axis=1)
+
+    # SXT[b, d, i] = bp_x[i, i + d - 1] (zero out of range): per-step row read
+    d_idx = jnp.arange(n + 1)
+    col = i_idx[None, None, :] + d_idx[None, :, None] - 1  # (1, n+1_d, n+1_i)
+    col_ok = (col >= 0) & (col < lx[:, None, None]) & (i_idx[None, None, :] < lx[:, None, None])
+    flat = (jnp.minimum(i_idx, n - 1)[None, None, :] * n
+            + jnp.clip(col, 0, n - 1))
+    SXT = jnp.where(
+        col_ok,
+        jnp.take_along_axis(
+            bp_x.reshape(bsz, -1), flat.reshape(1, -1).repeat(bsz, 0), 1
+        ).reshape(bsz, n + 1, n + 1),
+        0.0,
+    )  # (B, n+1 levels, n+1 blocks)
+
+    # EG[b, d-1, i, wk] = bp_y[k_abs(i, wk), a[i+d] + band]: the bp window
+    # column that ENTERS when the l-window slides at level d.  Only the XLA
+    # scan consumes this (the Pallas kernel's block-shift formulation needs
+    # the entering k-ROW instead); with_eg=False skips the gather.
+    d_lvl = jnp.arange(1, n + 1)
+    idx_id = d_lvl[:, None] + i_idx[None, :]  # (n, n+1)
+    a_at = jnp.take_along_axis(
+        a_pad, jnp.broadcast_to(idx_id.reshape(1, -1), (bsz, n * (n + 1))), 1
+    ).reshape(bsz, n, n + 1)  # a[i+d]
+    EG = None
+    if with_eg:
+        # entering slot wl = W-1 holds bp_y(k, l-1) at l-1 = a[i+d] + band - 1
+        c_eg = a_at + band - 1  # (B, n, n+1)
+        c_ok = (c_eg >= 0) & (c_eg < ly[:, None, None])
+        flat_eg = (kk[:, None, :, :] * n + jnp.clip(c_eg, 0, n - 1)[:, :, :, None])
+        EG = jnp.where(
+            c_ok[:, :, :, None] & k_ok[:, None, :, :],
+            jnp.take_along_axis(
+                bp_y.reshape(bsz, -1), flat_eg.reshape(bsz, -1), 1
+            ).reshape(bsz, n, n + 1, W),
+            0.0,
+        )  # (B, n, n+1, W)
+
+    # initial bp_y window at level d = 0 (the scan's step-d slide update
+    # turns BW(d-1) into BW(d)): BW0[i, wk, wl] = bp_y[k_abs, a[i]-1-band+wl]
+    l0 = a[:, :, None] - 1 - band + w_idx[None, None, :]  # (B, n+1, W)
+    l0_ok = (l0 >= 0) & (l0 < ly[:, None, None])
+    flat0 = kk[:, :, :, None] * n + jnp.clip(l0, 0, n - 1)[:, :, None, :]
+    BW0 = jnp.where(
+        l0_ok[:, :, None, :] & k_ok[:, :, :, None],
+        jnp.take_along_axis(
+            bp_y.reshape(bsz, -1), flat0.reshape(bsz, -1), 1
+        ).reshape(bsz, n + 1, W, W),
+        0.0,
+    )
+    return a, a_pad, dk_pad, eq1_win, E2pad, SXT, EG, BW0
+
+
+def full_stem_kernel_banded(*args, **kwargs) -> jax.Array:
+    """Raw-value wrapper over :func:`full_stem_kernel_banded_log`.
+
+    Overflows float32 for long, strongly-pairing inputs (values grow like
+    10^(0.15 n); the reference computes in C++ doubles) — use the log
+    variant with the Gram engine's ``log_values=True`` for production runs.
+    """
+    return jnp.exp(full_stem_kernel_banded_log(*args, **kwargs).astype(jnp.float64)).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("band", "precision"))
+def full_stem_kernel_banded_log(
     x_codes: jax.Array,  # (B, n)
-    y_codes: jax.Array,  # (B, m)
+    y_codes: jax.Array,  # (B, n) — same pad as x (swap support)
     lx: jax.Array,
     ly: jax.Array,
     bp_x: jax.Array,  # (B, n, n)
-    bp_y: jax.Array,  # (B, m, m)
+    bp_y: jax.Array,  # (B, n, n)
     gap: jax.Array,
     stack: jax.Array,
     subst: jax.Array,
     band: int = 16,
+    precision: str = "highest",
 ) -> jax.Array:
     """Windowed-memory full stem kernel: O(B n W^2) live state, W = 2*band+1.
 
     The TPU equivalent of the reference's banded partial_dp with row
     recycling (/root/reference/stem_kernel/stem_kernel.cpp:165-246,
-    stem_kernel/dptable.h:41-116): instead of five dense (B, n+1, m+1, m+1)
-    state tensors, each block (i, j=i+d) stores only a (W, W) window of the
-    (k, l) plane anchored on the slope-1 diagonal (k in i +- band,
-    l in j +- band).
+    stem_kernel/dptable.h:41-116): each block (i, j=i+d) stores only a
+    (W, W) window of the (k, l) plane anchored on the SCALED diagonal —
+    k in a(i) +- band, l in a(j) +- band with a(t) = round(t*ly/lx), the
+    same staircase the reference's band branch uses
+    (stem_kernel.cpp:70-76).  Pairs are swapped internally so lx >= ly
+    (the kernel is symmetric), which makes consecutive anchors differ by
+    delta in {0, 1}; window re-anchoring between levels becomes a
+    per-block conditional shift.
 
-    Window algebra (why this is EXACT inside the band, not an
-    approximation): out-of-window state values have closed forms —
-    * K-states are CONSTANT beyond the band (their k/l recursions are
-      cumsums of injections that the band masks to zero), so a window
-      shifted by one replicates its edge value (clamp fill);
-    * G-states DECAY by exactly ``gap`` per step beyond the band (their
-      recursions are linear recurrences with decay ``gap`` and zero
-      injection), so the entering edge is gap * edge.
-    Hence for equal-length pairs the banded kernel equals the dense
+    Window algebra: out-of-window state values have closed forms —
+    K-states are CONSTANT beyond the band (cumsums of band-masked
+    injections), so a shifting window clamp-fills its entering edge;
+    G-states DECAY by exactly ``gap`` per step beyond the band, so the
+    entering edge is gap * edge.  For lx == ly the staircase is slope 1,
+    every shift fires, and the banded kernel equals the dense
     ``full_stem_kernel(band=band)`` to floating-point accuracy.  For
-    lx != ly the dense path anchors windows on the scaled diagonal
-    (round(i*ly/lx)) while this path uses slope 1, so values agree when
-    |lx - ly| <= band and diverge gracefully beyond (the same regime the
-    reference's len_band gate excludes, stem_kernel_lite/stem_kernel.cpp:46-48).
-    Pairs with |lx - ly| > band return 0.
+    lx != ly the skipped shifts introduce the same class of boundary
+    approximation the reference's partial_dp makes explicitly
+    (stem_kernel.cpp:179-191: clamped out-of-window reads), so values
+    track the dense scaled-band kernel closely rather than exactly.
+
+    ``precision``: MXU mode for the (W, W) window contractions —
+    "highest" (full f32), "high" (3-pass), "default" (bf16); the same
+    trade documented for the lite stem kernel in BASELINE.md.
+
+    Returns log K.  Kernel values grow like 10^(0.15 n) on well-pairing
+    inputs (the reference holds them in C++ doubles, stem_kernel.cpp:83);
+    to stay in float32 on the MXU the scan rescales all states per level
+    by the running maximum of K0 and tracks the log-scale per pair —
+    exactly the pf_scale trick of the McCaskill engine
+    (fold/mccaskill_scaled.py).  Fresh-diagonal seeds entering below the
+    float32 noise floor of the rescaled states underflow to zero, which
+    matches their true relative weight.
     """
     bsz, n = x_codes.shape
-    m = y_codes.shape[1]
+    assert y_codes.shape[1] == n, "banded kernel requires equal x/y padding"
     dt = bp_x.dtype
     gap = jnp.asarray(gap, dt)
     stack = jnp.asarray(stack, dt)
     subst = jnp.asarray(subst, dt)
     W = 2 * band + 1
 
+    # swap pairs so lx >= ly (anchor deltas stay in {0, 1})
+    swap = ly > lx
+    x_codes, y_codes = (
+        jnp.where(swap[:, None], y_codes, x_codes),
+        jnp.where(swap[:, None], x_codes, y_codes),
+    )
+    bp_x, bp_y = (
+        jnp.where(swap[:, None, None], bp_y, bp_x),
+        jnp.where(swap[:, None, None], bp_x, bp_y),
+    )
+    lx, ly = jnp.where(swap, ly, lx), jnp.where(swap, lx, ly)
+
+    (a, a_pad, dk_pad, eq1_win, E2pad, SXT, EG, BW0) = _banded_precompute(
+        x_codes, y_codes, lx, ly, bp_x, bp_y, band
+    )
+
     i_idx = jnp.arange(n + 1)
-    wk_idx = jnp.arange(W)
-    wl_idx = jnp.arange(W)
+    w_idx = jnp.arange(W)
+    dk = jnp.take_along_axis(
+        dk_pad, jnp.broadcast_to(i_idx[None, :], (bsz, n + 1)), 1
+    )  # delta_k at block i (d-independent)
+    dk_m = (dk > 0)[:, :, None, None]
 
-    eq = (x_codes[:, :, None] == y_codes[:, None, :])  # (B, n, m)
-
-    # --- d-independent windows ---
-    # absolute k for (block i, window slot wk): k = i - band + wk
-    k_abs = i_idx[:, None] - band + wk_idx[None, :]  # (n+1, W)
-    k_ok = (k_abs >= 0) & (k_abs <= m - 1)
-    eq_i = eq[:, jnp.minimum(i_idx, n - 1), :]  # (B, n+1, m)
-    kk = jnp.clip(k_abs, 0, m - 1)
-    eq1_win = jnp.where(
-        k_ok[None],
-        jnp.take_along_axis(eq_i, jnp.broadcast_to(kk[None], (bsz, n + 1, W)), axis=2),
-        False,
-    )  # (B, n+1, W)
-
-    # --- initial states: level d = 0, l anchor = k anchor = i ---
-    rel = wl_idx[None, :] - wk_idx[:, None]  # l - k at d = 0
+    rel = w_idx[None, :] - w_idx[:, None]  # wl - wk at d = 0 (anchors equal)
     G0_0 = jnp.broadcast_to(
         (gap ** rel.astype(dt)) * (rel >= 0).astype(dt), (bsz, n + 1, W, W)
     ).astype(dt)
     K0_0 = jnp.ones((bsz, n + 1, W, W), dt)
     zeros = jnp.zeros((bsz, n + 1, W, W), dt)
 
-    # constant (W, W) contraction matrices for the within-window recursions:
-    #   K3[a] = sum_{b >= a} inj[b]          (reverse cumsum)
-    #   G3[a] = sum_{b >= a} g^(b-a) inj[b]  (reverse linear recurrence)
-    #   K2[l] = sum_{a <= l} K3[a]           (cumsum)
-    #   G2[l] = sum_{a <= l} g^(l-a) G3[a]
-    rel_w = wk_idx[:, None] - wk_idx[None, :]  # a - b
+    # triangular contraction matrices (see round-3 notes: einsum, not scan —
+    # the associative_scan lowering crashes XLA-TPU's fusion emitter at
+    # W >= 33 on these shapes, and matmuls feed the MXU anyway)
+    rel_w = w_idx[:, None] - w_idx[None, :]
     up_ones = (rel_w <= 0).astype(dt)
     up_gap = up_ones * gap ** jnp.maximum(-rel_w, 0).astype(dt)
-    lo_ones = up_ones  # [a, l]: 1 where a <= l — same triangular pattern
-    lo_gap = up_gap
-    prec = jax.lax.Precision.HIGHEST
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[precision]
 
     def shift_i(t):  # block at start i+1
         return jnp.concatenate([t[:, 1:], jnp.zeros_like(t[:, :1])], axis=1)
 
-    def shift_wk(t, fill_scale):
-        """new[wk] = old[wk-1]; entering low-k edge = fill_scale * old[0]."""
-        return jnp.concatenate(
-            [fill_scale * t[:, :, :1], t[:, :, :-1]], axis=2
+    def level_step(carry, xs):
+        (K0p, G0p, K1p, G1p, G0pp, BW, logS) = carry
+        d, eg = xs
+        # ---- per-step slices (no gathers) ----
+        a_d = jax.lax.dynamic_slice_in_dim(a_pad, d, n + 1, axis=1)  # a[i+d]
+        off = a_d - a  # (B, n+1) anchor offset a(i+d) - a(i)
+        dj = jax.lax.dynamic_slice_in_dim(dk_pad, d - 1, n + 1, axis=1)  # a[i+d]-a[i+d-1]
+        dj_m = (dj > 0)[:, :, None, None]
+        e2 = jax.lax.dynamic_slice_in_dim(E2pad, d - 1, n + 1, axis=1)  # (B, n+1, W)
+        bpx_d = jax.lax.dynamic_slice_in_dim(SXT, d, 1, axis=1)[:, 0]  # (B, n+1)
+
+        # ---- bp_y window slides with the l-anchor ----
+        BW_s = jnp.concatenate([BW[..., 1:], eg[:, :, :, None]], -1)
+        BW = jnp.where(dj_m, BW_s, BW)
+
+        # ---- state re-anchoring ----
+        # K1(i+1, j): k-anchor a(i+1) -> a(i): conditional wk-shift
+        t = shift_i(K1p)
+        K1_base = jnp.where(
+            dk_m, jnp.concatenate([t[:, :, :1], t[:, :, :-1]], 2), t
+        )
+        t = shift_i(G1p)
+        G1_base = jnp.where(
+            dk_m, jnp.concatenate([gap * t[:, :, :1], t[:, :, :-1]], 2), t
+        )
+        # K0(i, j-1): l-anchor a(j-1) -> a(j): conditional wl-shift
+        K0_base = jnp.where(
+            dj_m, jnp.concatenate([K0p[..., 1:], K0p[..., -1:]], -1), K0p
+        )
+        G0_base = jnp.where(
+            dj_m, jnp.concatenate([G0p[..., 1:], gap * G0p[..., -1:]], -1), G0p
+        )
+        # G0(i+1, j-1) read at (k+1, l-1): slot shifts (1 - delta_k) in wk
+        # and (dj - 1) in wl; clamp fills (boundary approximation, only
+        # active when lx != ly)
+        t = shift_i(G0pp)
+        base = jnp.where(
+            dk_m, t, jnp.concatenate([t[:, :, 1:], t[:, :, -1:]], 2)
+        )
+        base = jnp.where(
+            dj_m, base, jnp.concatenate([base[..., :1], base[..., :-1]], -1)
         )
 
-    def shift_wl(t, fill_scale):
-        """new[wl] = old[wl+1]; entering high-l edge = fill_scale * old[-1]."""
-        return jnp.concatenate(
-            [t[..., 1:], fill_scale * t[..., -1:]], axis=3
-        )
-
-    def level_step(carry, d):
-        (K0p, G0p, K1p, G1p, G0pp) = carry
-        # K1(i+1, j): block shift + k-window re-anchor (clamp / gap fills)
-        K1_base = shift_wk(shift_i(K1p), 1.0)
-        G1_base = shift_wk(shift_i(G1p), gap)
-        # K0(i, j-1): l-window slides right by one
-        K0_base = shift_wl(K0p, 1.0)
-        G0_base = shift_wl(G0p, gap)
-        # G0(i+1, j-1) read at (k+1, l-1): anchors cancel — plain block shift
-        base = shift_i(G0pp)
-
-        jm1 = jnp.clip(i_idx + d - 1, 0, n - 1)
-        valid_i = (i_idx + d <= n)
-        bpx_d = jnp.where(
-            valid_i[None, :], bp_x[:, jnp.minimum(i_idx, n - 1), jm1], 0.0
-        )  # (B, n+1)
-
-        # absolute l = i + d - band + wl;   reads use l-1
-        lm1 = i_idx[:, None] + d - band + wl_idx[None, :] - 1  # (n+1, W)
-        l_ok = (lm1 >= 0) & (lm1 <= m - 1)
-        ll = jnp.clip(lm1, 0, m - 1)
-        eq2_full = eq[:, jm1, :]  # (B, n+1, m)
-        eq2_win = jnp.where(
-            l_ok[None],
-            jnp.take_along_axis(
-                eq2_full, jnp.broadcast_to(ll[None], (bsz, n + 1, W)), axis=2
-            ),
-            False,
-        )
-        # bp_y(k, l-1) window: (B, n+1, W, W)
-        bpy_win = bp_y[:, kk[:, :, None], ll[:, None, :]]
-        bpy_win = jnp.where(
-            (k_ok[:, :, None] & l_ok[:, None, :])[None], bpy_win, 0.0
-        )
-
-        both_eq = (eq1_win[:, :, :, None] & eq2_win[:, :, None, :]).astype(dt)
-        wfac = bpx_d[:, :, None, None] * bpy_win
+        # ---- injection ----
+        both_eq = (eq1_win[:, :, :, None] & e2[:, :, None, :]).astype(dt)
+        wfac = bpx_d[:, :, None, None] * BW
         inj_k3 = base * stack * wfac * jnp.where(both_eq > 0, 1.0, subst)
         inj_g3 = base * both_eq * jnp.where(wfac > 0, 1.0, 0.0)
+        # absolute k <= l  <=>  wk <= off + wl
+        tri_w = (
+            w_idx[None, None, :, None] <= off[:, :, None, None] + w_idx[None, None, None, :]
+        ).astype(dt)
+        inj_k3 = inj_k3 * tri_w
+        inj_g3 = inj_g3 * tri_w
 
-        # k <= l  <=>  wk <= d + wl;  out-of-range blocks contribute nothing
-        tri_w = (wk_idx[:, None] <= d + wl_idx[None, :]).astype(dt)
-        inj_k3 = inj_k3 * tri_w[None, None] * valid_i[None, :, None, None]
-        inj_g3 = inj_g3 * tri_w[None, None] * valid_i[None, :, None, None]
-
-        # within-window recursions (injections vanish outside the band, so
-        # window sums equal the unbounded ones).  Expressed as (W, W)
-        # triangular-matrix contractions rather than cumsum/associative_scan:
-        # identical math, runs on the MXU, and avoids an XLA-TPU fusion-
-        # emitter crash (TransformWindow CHECK) that the scan lowering
-        # triggers at W >= 33 on these (B, n+1, W, W) shapes.
+        # ---- within-window recursions (MXU contractions) ----
         K3 = jnp.einsum("ab,xnbl->xnal", up_ones, inj_k3, precision=prec)
         G3 = jnp.einsum("ab,xnbl->xnal", up_gap, inj_g3, precision=prec)
-        K2 = jnp.einsum("xnka,al->xnkl", K3, lo_ones, precision=prec)
-        G2 = jnp.einsum("xnka,al->xnkl", G3, lo_gap, precision=prec)
+        K2 = jnp.einsum("xnka,al->xnkl", K3, up_ones, precision=prec)
+        G2 = jnp.einsum("xnka,al->xnkl", G3, up_gap, precision=prec)
         K1 = K1_base + K2
         G1 = G1_base * gap + G2
         K0 = K0_base + K1
         G0 = G0_base * gap + G1
 
-        # boundary overrides; the absolute diagonal k == l sits at
-        # wk - wl == d (only inside the window while d < W)
-        diag_w = (wk_idx[:, None] - wl_idx[None, :] == d).astype(dt)
-        K0 = K0 * tri_w + (1.0 - tri_w) * 0.0
-        K0 = jnp.where(diag_w[None, None] > 0, 1.0, K0)
+        # ---- boundary overrides: absolute diagonal k == l at wk - wl == off
+        # (diagonal seeds live at the CURRENT scale: value 1 -> exp(-logS))
+        diag_w = (
+            w_idx[None, None, :, None] - w_idx[None, None, None, :]
+            == off[:, :, None, None]
+        )
+        s_inv = jnp.exp(-logS)[:, None, None, None]
+        K0 = K0 * tri_w
+        K0 = jnp.where(diag_w, s_inv, K0)
         G0 = G0 * tri_w
-        G0 = jnp.where(diag_w[None, None] > 0, gap ** jnp.asarray(d, dt), G0)
-        K1 = K1 * tri_w * (1.0 - diag_w)
-        G1 = G1 * tri_w * (1.0 - diag_w)
+        G0 = jnp.where(diag_w, gap ** jnp.asarray(d, dt) * s_inv, G0)
+        ndiag = 1.0 - diag_w.astype(dt)
+        K1 = K1 * tri_w * ndiag
+        G1 = G1 * tri_w * ndiag
 
-        out = K0[:, 0, band, :]  # block (0, d) at k = 0: (B, W) over l slots
-        return (K0, G0, K1, G1, G0p), out
+        out = K0[:, 0, band, band]  # block (0, d) at k=0, l=a(d)
+        out_log = jnp.where(out > 0, jnp.log(jnp.maximum(out, 1e-38)), -jnp.inf) + logS
 
-    init = (K0_0, G0_0, zeros, zeros, zeros)
-    _, outs = jax.lax.scan(level_step, init, jnp.arange(1, n + 1))
-    outs = jnp.concatenate([K0_0[None, :, 0, band, :], outs], axis=0)  # d = 0..n
-    # value at (lx, l = ly): window slot band + (ly - lx); defined only
-    # within the band
-    off = ly - lx
-    slot = jnp.clip(band + off, 0, W - 1)
-    vals = outs[lx, jnp.arange(bsz), slot]
-    return jnp.where(jnp.abs(off) <= band, vals, 0.0)
+        # ---- per-level rescale (pf_scale trick): keep states near 1
+        m = jnp.maximum(
+            jnp.max(jnp.abs(K0), axis=(1, 2, 3)), 1e-30
+        )[:, None, None, None]
+        K0, G0, K1, G1 = K0 / m, G0 / m, K1 / m, G1 / m
+        G0p = G0p / m
+        logS = logS + jnp.log(m[:, 0, 0, 0])
+        return (K0, G0, K1, G1, G0p, BW, logS), out_log
+
+    init = (K0_0, G0_0, zeros, zeros, zeros, BW0, jnp.zeros((bsz,), dt))
+    _, outs = jax.lax.scan(
+        level_step, init,
+        (jnp.arange(1, n + 1), jnp.moveaxis(EG, 1, 0)),
+    )
+    # outs[d-1, b] = log K(0, d, 0, a(d)); the kernel value is level d = lx
+    # (a(lx) = ly by construction — any length combination is in-window)
+    vals = outs[jnp.clip(lx - 1, 0, n - 1), jnp.arange(bsz)]
+    return jnp.where(lx == 0, 0.0, vals)

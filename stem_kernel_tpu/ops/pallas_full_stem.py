@@ -1,0 +1,344 @@
+"""VMEM-resident Pallas kernel for the banded full stem kernel.
+
+The level scan of ``models.full_stem.full_stem_kernel_banded_log`` carries
+six (B, n+1, W, W) state tensors through HBM every step — measured at
+~19 pairs/s at n=300 (round-4 XLA restructure; round 3's gather-heavy scan
+managed 8).  Here the whole state lives in VMEM across the level loop:
+
+- layout: each state is a 2-D (W, (n+1)*W) array — window-k on sublanes,
+  (block i, window-l) flattened on lanes.  In this layout every window
+  re-anchoring of the staircase algebra (see full_stem.py) is a static
+  lane/sublane shift: the block shift i+1 -> i is a lane roll by W, the
+  conditional k/l shifts are single-step rolls masked by per-block lane
+  rows, and the bp_y window slide is ABSORBED by the block shift (the
+  l-anchor of block i+1 at level d-1 equals that of block i at level d).
+- the reverse-cumsum k-contractions (K3/G3) are one (W, W) x (W, L) MXU
+  matmul each; the l-contractions (K2/G2) are in-window doubling scans on
+  lanes (6 rounds at W = 33) because a lane-blocked matmul has no
+  MXU form.
+- everything the step needs beyond carried state streams in as per-level
+  lane rows (bp_x skew column, anchor offsets, shift masks, eq2 window,
+  entering bp_y edge row) prefetched by the Pallas grid pipeline: the
+  kernel body contains no gathers at all.
+- float32 overflow (values grow like 10^(0.15 n)) is handled exactly like
+  the scaled McCaskill engine: states are rescaled by max|K0| every 8
+  levels, a per-pair log-scale accumulates in SMEM, and the kernel emits
+  log K per level.
+
+Grid is (B, n): pairs outer, levels inner — TPU grids run sequentially on
+the core, so scratch persists across the level loop and resets at d == 0.
+
+Reference recursion: /root/reference/stem_kernel/stem_kernel.cpp:83-351
+(dp_init/dp_update micro-kernels and the banded partial_dp windows).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RESCALE_EVERY = 8  # levels between state rescales (growth stays << f32 max)
+
+
+def _kernel(gap: float, stack: float, subst: float, W: int, NB: int,
+            # refs: streams (1,1,1,L), resident rows, output, scratch
+            bpx_ref, off_ref, dj_ref, e2_ref, egk_ref,
+            dk_ref, wl_ref, eq1_ref, bw0_ref,
+            out_ref,
+            K0, G0, K1, G1, G0pp, BW, logS):
+    d_idx = pl.program_id(1)  # level d = d_idx + 1
+    L = NB * W
+    f32 = jnp.float32
+    g = f32(gap)
+
+    wl = wl_ref[0, 0, :].astype(jnp.int32)            # lane sub-index l
+    wk = jax.lax.broadcasted_iota(jnp.int32, (W, L), 0)
+
+    @pl.when(d_idx == 0)
+    def _init():
+        # level-0 states: K0 = 1; G0 = g^(l-k) on l >= k; rest 0
+        rel = wl[None, :] - wk
+        G0[...] = jnp.where(rel >= 0, jnp.exp(rel.astype(f32) * f32(np.log(gap))), 0.0)
+        K0[...] = jnp.ones((W, L), f32)
+        K1[...] = jnp.zeros((W, L), f32)
+        G1[...] = jnp.zeros((W, L), f32)
+        G0pp[...] = jnp.zeros((W, L), f32)
+        BW[...] = bw0_ref[0, ...]
+        logS[0, 0] = f32(0.0)
+
+    dj = dj_ref[0, 0, 0, :] > 0.5   # l-anchor advanced at this level (per block)
+    dk = dk_ref[0, 0, :] > 0.5      # k-anchor advances i -> i+1 (d-independent)
+    bpx = bpx_ref[0, 0, 0, :]
+    off = off_ref[0, 0, 0, :].astype(jnp.int32)
+    e2 = e2_ref[0, 0, 0, :]
+    egk = egk_ref[0, 0, 0, :]
+
+    def roll_i(x):  # value of block i+1, window-aligned: lanes left by W
+        return jnp.concatenate([x[:, W:], jnp.zeros((W, W), f32)], axis=1)
+
+    def kshift(x, fill):  # new[wk] = old[wk-1], entering row 0 = fill*old[0]
+        return jnp.concatenate([fill * x[:1], x[:-1]], axis=0)
+
+    def kshift_up(x, fill):  # new[wk] = old[wk+1], entering last row = fill*old[-1]
+        return jnp.concatenate([x[1:], fill * x[-1:]], axis=0)
+
+    def lshift(x, fill):  # new[wl] = old[wl+1] in-block; entering l edge = fill*old
+        r = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+        return jnp.where((wl == W - 1)[None, :], fill * x, r)
+
+    def lshift_dn(x, fill):  # new[wl] = old[wl-1] in-block; entering low edge
+        r = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
+        return jnp.where((wl == 0)[None, :], fill * x, r)
+
+    # ---- state re-anchoring (staircase window algebra, full_stem.py) ----
+    t = roll_i(K1[...])
+    K1b = jnp.where(dk[None, :], kshift(t, 1.0), t)
+    t = roll_i(G1[...])
+    G1b = jnp.where(dk[None, :], kshift(t, g), t)
+    K0b = jnp.where(dj[None, :], lshift(K0[...], 1.0), K0[...])
+    G0b = jnp.where(dj[None, :], lshift(G0[...], g), G0[...])
+    t = roll_i(G0pp[...])
+    base = jnp.where(dk[None, :], t, kshift_up(t, 1.0))
+    base = jnp.where(dj[None, :], base, lshift_dn(base, 1.0))
+
+    # ---- bp_y window: block shift absorbs the l-advance; conditional
+    # k-shift with the entering low-k row streamed in ----
+    t = roll_i(BW[...])
+    t = jnp.where(dk[None, :], kshift(t, 0.0), t)
+    BW[...] = jnp.where((wk == 0) & dk[None, :], egk[None, :], t)
+
+    # ---- injections ----
+    eq1 = eq1_ref[0, ...]  # (W, L): x[i] == y[k]
+    both = eq1 * e2[None, :]
+    wfac = bpx[None, :] * BW[...]
+    injk = base * f32(stack) * wfac * jnp.where(both > 0, 1.0, f32(subst))
+    injg = base * both * jnp.where(wfac > 0, 1.0, 0.0)
+    tri = (wk <= off[None, :] + wl[None, :]).astype(f32)
+    injk = injk * tri
+    injg = injg * tri
+
+    # ---- K3/G3: reverse-cumsum over k as one MXU matmul each ----
+    iw = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+    jw = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+    U = (iw <= jw).astype(f32)
+    Ug = jnp.where(iw <= jw, jnp.exp((jw - iw).astype(f32) * f32(np.log(gap))), 0.0)
+    K3 = jnp.dot(U, injk, preferred_element_type=f32)
+    G3 = jnp.dot(Ug, injg, preferred_element_type=f32)
+
+    # ---- K2/G2: in-window cumsum over l (lane doubling scans) ----
+    def lane_scan(x, gg):
+        s = 1
+        while s < W:
+            sh = jnp.concatenate([jnp.zeros((W, s), f32), x[:, :-s]], axis=1)
+            x = x + f32(gg ** s) * jnp.where((wl >= s)[None, :], sh, 0.0)
+            s *= 2
+        return x
+
+    K2 = lane_scan(K3, 1.0)
+    G2 = lane_scan(G3, gap)
+
+    K1n = K1b + K2
+    G1n = G1b * g + G2
+    K0n = K0b + K1n
+    G0n = G0b * g + G1n
+
+    # ---- boundary overrides on the absolute diagonal k == l ----
+    d = (d_idx + 1).astype(f32)
+    s_inv = jnp.exp(-logS[0, 0])
+    gd = jnp.exp(d * f32(np.log(gap)))
+    diag = (wk - wl[None, :]) == off[None, :]
+    ndiag = 1.0 - diag.astype(f32)
+    K0n = jnp.where(diag, s_inv, K0n * tri)
+    G0n = jnp.where(diag, gd * s_inv, G0n * tri)
+    K1n = K1n * tri * ndiag
+    G1n = G1n * tri * ndiag
+
+    # ---- emit log K(0, d, 0, a(d)) for this level ----
+    v = K0n[W // 2:W // 2 + 1, W // 2:W // 2 + 1]  # block 0, k=0, l=a(d)
+    out_ref[...] = (
+        jnp.where(v > 0, jnp.log(jnp.maximum(v, 1e-38)), -jnp.inf) + logS[0, 0]
+    ).reshape(1, 1, 1, 1)
+
+    # ---- commit state; rescale every RESCALE_EVERY levels ----
+    G0pp[...] = G0[...]
+    K0[...] = K0n
+    G0[...] = G0n
+    K1[...] = K1n
+    G1[...] = G1n
+
+    @pl.when(d_idx % RESCALE_EVERY == RESCALE_EVERY - 1)
+    def _rescale():
+        m = jnp.maximum(jnp.max(jnp.abs(K0[...])), 1e-30)
+        inv = 1.0 / m
+        K0[...] = K0[...] * inv
+        G0[...] = G0[...] * inv
+        K1[...] = K1[...] * inv
+        G1[...] = G1[...] * inv
+        G0pp[...] = G0pp[...] * inv
+        logS[0, 0] = logS[0, 0] + jnp.log(m)
+
+
+@functools.partial(jax.jit, static_argnames=("band", "gap", "stack", "subst", "interpret"))
+def _pallas_banded(x_codes, y_codes, lx, ly, bp_x, bp_y,
+                   gap: float, stack: float, subst: float,
+                   band: int, interpret: bool):
+    from ..models.full_stem import _banded_precompute
+
+    bsz, n = x_codes.shape
+    W = 2 * band + 1
+    NB = n + 1
+    L = NB * W
+
+    # pairs swapped so lx >= ly (staircase deltas in {0, 1}; kernel symmetric)
+    swap = ly > lx
+    x_codes, y_codes = (
+        jnp.where(swap[:, None], y_codes, x_codes),
+        jnp.where(swap[:, None], x_codes, y_codes),
+    )
+    bp_x, bp_y = (
+        jnp.where(swap[:, None, None], bp_y, bp_x),
+        jnp.where(swap[:, None, None], bp_x, bp_y),
+    )
+    lx, ly = jnp.where(swap, ly, lx), jnp.where(swap, lx, ly)
+
+    (a, a_pad, dk_pad, eq1_win, E2pad, SXT, _, BW0) = _banded_precompute(
+        x_codes, y_codes, lx, ly, bp_x, bp_y, band, with_eg=False
+    )
+    f32 = jnp.float32
+    i_idx = jnp.arange(NB)
+    d_lvl = jnp.arange(1, n + 1)
+
+    # ---- expand per-level ingredients to the kernel's lane layout ----
+    idx_id = d_lvl[:, None] + i_idx[None, :]             # (n, NB): i + d
+    def at_ipd(v):  # v (B, 2n+1) -> (B, n, NB): v[i + d]
+        return jnp.take_along_axis(
+            v, jnp.broadcast_to(idx_id.reshape(1, -1), (bsz, n * NB)), 1
+        ).reshape(bsz, n, NB)
+
+    off_all = at_ipd(a_pad) - a[:, None, :]              # a[i+d] - a[i]
+    dj_all = at_ipd(jnp.concatenate(
+        [jnp.zeros((bsz, 1), jnp.int32), dk_pad[:, :-1]], 1))  # dk[i+d-1]
+    bpx_all = jnp.swapaxes(SXT, 1, 2)[:, :, 1:]          # (B, NB, n) -> take d cols
+    bpx_all = jnp.moveaxis(bpx_all, 2, 1)                # (B, n, NB)
+
+    def lane_rep(v):  # (B, n, NB) -> (B, n, 1, NB*W): repeat per-block over W
+        return jnp.broadcast_to(
+            v[:, :, :, None], (bsz, n, NB, W)
+        ).reshape(bsz, n, 1, L)
+
+    off_s = lane_rep(off_all.astype(f32))
+    dj_s = lane_rep(dj_all.astype(f32))
+    bpx_s = lane_rep(bpx_all.astype(f32))
+
+    # e2 stream: E2[i+d-1, wl] — Hankel of E2pad rows, built as n contiguous
+    # row-window slices (big-slice gathers; a flat 24M-element gather here
+    # measured ~200 ms/batch on the chip, dominating the kernel itself)
+    e2_rows = jnp.moveaxis(
+        jax.vmap(
+            lambda d: jax.lax.dynamic_slice(E2pad, (0, d, 0), (bsz, NB, W))
+        )(jnp.arange(n)),
+        0, 1,
+    ).reshape(bsz, n, 1, L).astype(f32)
+
+    # entering low-k bp_y row: egk[b,d,i,wl] = bp_y[a(i)-band, a(i+d)-1-band+wl].
+    # The column offset a(i+d)-a(i) takes exactly two values {floor(sd),
+    # floor(sd)+1} across i (staircase window sums), so the irregular gather
+    # becomes: per-block row gather -> per-(b,d) contiguous (W+1)-slice at the
+    # minimum offset -> elementwise select between the two shifted views.
+    r_egk = a - band                                      # (B, NB)
+    r_ok = (r_egk >= 0)
+    rows_e = jnp.take_along_axis(
+        bp_y, jnp.clip(r_egk, 0, n - 1)[:, :, None], axis=1
+    ) * r_ok[:, :, None]                                  # (B, NB, n): bp_y rows
+    # skew each row by its block anchor: SKE[b, i, c] = rows_e[b, i, a(i)+c-(band+1)]
+    # (a small ~1M-element gather; the big one is now contiguous slices)
+    C = n + 2 * W + 4
+    cidx = a[:, :, None] + jnp.arange(C)[None, None, :] - (band + 1)
+    SKE = jnp.where(
+        (cidx >= 0) & (cidx < n),
+        jnp.take_along_axis(rows_e, jnp.clip(cidx, 0, n - 1), axis=2),
+        0.0,
+    )                                                     # (B, NB, C)
+    # two-candidate structure holds only over VALID blocks (i + d <= lx);
+    # clamped tail blocks drive off to 0 but are masked downstream anyway
+    valid_blk = (i_idx[None, None, :] + d_lvl[None, :, None]
+                 <= lx[:, None, None])                    # (B, n, NB)
+    omin = jnp.where(valid_blk, off_all, jnp.int32(2 ** 30)).min(axis=2)
+    omin = jnp.minimum(omin, ly[:, None])                 # all-invalid guard
+    cand = jax.vmap(                                      # (B, n, NB, W+1)
+        jax.vmap(
+            lambda rp, c: jax.lax.dynamic_slice(
+                rp, (jnp.zeros((), c.dtype), c), (NB, W + 1)),
+            in_axes=(None, 0),
+        ),
+        in_axes=(0, 0),
+    )(SKE, jnp.clip(omin, 0, C - W - 1).astype(jnp.int32))
+    sel = (off_all - omin[:, :, None])[:, :, :, None]     # 0 or 1
+    egk_s = jnp.where(
+        sel == 0, cand[:, :, :, :W], cand[:, :, :, 1:W + 1]
+    ).reshape(bsz, n, 1, L).astype(f32)
+
+    # resident rows / planes
+    dk_row = jnp.broadcast_to(
+        dk_pad[:, :NB, None].astype(f32), (bsz, NB, W)
+    ).reshape(bsz, 1, L)
+    wl_row = jnp.broadcast_to(
+        (jnp.arange(L) % W).astype(f32)[None, None, :], (1, 1, L)
+    )
+    eq1_plane = jnp.broadcast_to(
+        jnp.swapaxes(eq1_win, 1, 2)[:, :, :, None], (bsz, W, NB, W)
+    ).reshape(bsz, W, L).astype(f32)
+    bw0_plane = jnp.swapaxes(BW0, 1, 2).reshape(bsz, W, L).astype(f32)
+
+    grid = (bsz, n)
+    kern = functools.partial(_kernel, float(gap), float(stack), float(subst), W, NB)
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, L), lambda b, s: (b, s, 0, 0)),  # bpx
+            pl.BlockSpec((1, 1, 1, L), lambda b, s: (b, s, 0, 0)),  # off
+            pl.BlockSpec((1, 1, 1, L), lambda b, s: (b, s, 0, 0)),  # dj
+            pl.BlockSpec((1, 1, 1, L), lambda b, s: (b, s, 0, 0)),  # e2
+            pl.BlockSpec((1, 1, 1, L), lambda b, s: (b, s, 0, 0)),  # egk
+            pl.BlockSpec((1, 1, L), lambda b, s: (b, 0, 0)),        # dk row
+            pl.BlockSpec((1, 1, L), lambda b, s: (0, 0, 0)),        # wl row
+            pl.BlockSpec((1, W, L), lambda b, s: (b, 0, 0)),        # eq1 plane
+            pl.BlockSpec((1, W, L), lambda b, s: (b, 0, 0)),        # BW0 plane
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, 1), lambda b, s: (b, s, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, n, 1, 1), f32),
+        scratch_shapes=[pltpu.VMEM((W, L), f32)] * 6 + [pltpu.SMEM((1, 1), f32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(bpx_s, off_s, dj_s, e2_rows, egk_s, dk_row, wl_row, eq1_plane, bw0_plane)
+
+    vals = outs.reshape(bsz, n)[jnp.arange(bsz), jnp.clip(lx - 1, 0, n - 1)]
+    return jnp.where(lx == 0, 0.0, vals)
+
+
+def full_stem_banded_pallas_log(
+    x_codes, y_codes, lx, ly, bp_x, bp_y,
+    gap: float, stack: float, subst: float,
+    band: int = 16, interpret: bool | None = None,
+):
+    """log K of the banded full stem kernel, VMEM-resident Pallas path.
+
+    Same semantics as models.full_stem.full_stem_kernel_banded_log (scaled
+    staircase-anchor windows, pair auto-swap, log output) with gap/stack/
+    subst STATIC (they fold into scan constants).  ``interpret`` defaults to
+    True off-TPU so tests exercise the kernel on CPU.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    return _pallas_banded(
+        x_codes, y_codes,
+        jnp.asarray(lx, jnp.int32), jnp.asarray(ly, jnp.int32),
+        jnp.asarray(bp_x, jnp.float32), jnp.asarray(bp_y, jnp.float32),
+        float(gap), float(stack), float(subst), int(band), bool(interpret),
+    )

@@ -344,3 +344,48 @@ def test_cli_mesh_matches_single_device(tmp_path):
     lb, gb = read_precomputed(rows_one)
     assert la == lb
     np.testing.assert_allclose(ga, gb, rtol=2e-4, atol=2e-6)
+
+
+def test_stem_kernel_cli_banded_path(tmp_path):
+    """--band-width routes the full stem kernel CLI to the banded
+    windowed-memory log engine (VERDICT r3: banded was not CLI-reachable);
+    output must match a direct banded-kernel computation."""
+    import jax.numpy as jnp
+
+    from stem_kernel_tpu.cli import stem_kernel as sk_cli
+    from stem_kernel_tpu.io.alphabet import encode
+    from stem_kernel_tpu.models.full_stem import (
+        full_stem_kernel_banded_log, pair_weights,
+    )
+
+    seqs = ["gggcgcaagcuugaaagcgccc", "gggcgcaagucugaaagcgccc",
+            "ggacgcaagcuuga", "cggcgcaaguuugaaagcgccg"]
+    pos = write_family(tmp_path, "p.fa", seqs[:2])
+    neg = write_family(tmp_path, "n.fa", seqs[2:])
+    out = str(tmp_path / "km.dat")
+    assert sk_cli.main(["-n", "-b", "6", "--single-device",
+                        out, "+1", pos, "-1", neg]) == 0
+    labels, g = read_precomputed(out)
+    assert g.shape == (4, 4)
+    np.testing.assert_allclose(np.diag(g), 1.0, rtol=1e-5)
+
+    # direct computation of one off-diagonal entry
+    n = max(len(s) for s in seqs) + 1
+    x = np.zeros((2, n), np.uint8)
+    bp = np.zeros((2, n, n), np.float32)
+    lens = np.zeros(2, np.int32)
+    for i, s in enumerate(seqs[:2]):
+        c = encode(s)
+        x[i, : len(c)] = c
+        lens[i] = len(c)
+        bp[i, : len(c), : len(c)] = pair_weights(c, len(c))
+    lg = np.asarray(full_stem_kernel_banded_log(
+        jnp.asarray(x), jnp.asarray(x[::-1].copy()),
+        jnp.asarray(lens), jnp.asarray(lens[::-1].copy()),
+        jnp.asarray(bp), jnp.asarray(bp[::-1].copy()),
+        0.8, 1.0, 0.5, band=6))
+    diag = np.asarray(full_stem_kernel_banded_log(
+        jnp.asarray(x), jnp.asarray(x), jnp.asarray(lens), jnp.asarray(lens),
+        jnp.asarray(bp), jnp.asarray(bp), 0.8, 1.0, 0.5, band=6))
+    want01 = np.exp(lg[0] - 0.5 * (diag[0] + diag[1]))
+    np.testing.assert_allclose(g[0, 1], want01, rtol=2e-4)

@@ -207,9 +207,89 @@ def test_banded_wide_band_matches_unbanded():
     np.testing.assert_allclose(wide, full, rtol=2e-5)
 
 
-def test_banded_length_gap_beyond_band_is_zero():
-    from stem_kernel_tpu.models.full_stem import full_stem_kernel_banded
+def test_banded_unequal_lengths_match_scaled_dense_band():
+    """Staircase-anchored windows handle ANY length combination (round-3's
+    banded kernel returned 0 beyond |lx-ly| > band): values track the dense
+    kernel's scaled-diagonal band (the reference's partial_dp anchors,
+    stem_kernel.cpp:70-76), and the internal lx >= ly swap makes the result
+    order-independent."""
+    from stem_kernel_tpu.models.full_stem import full_stem_kernel, full_stem_kernel_banded
 
-    args = _pack_pair("gggaaacccaugcaagg", "gggaaaccc")  # |lx-ly| = 8 > 4
-    v = float(np.asarray(full_stem_kernel_banded(*args, band=4))[0])
-    assert v == 0.0
+    a, b = "gggaaacccaugcaagg", "gggaaaccc"  # |lx-ly| = 8 > band
+    args_fwd = _pack_pair(a, b)
+    args_rev = _pack_pair(b, a)
+    dense = float(np.asarray(full_stem_kernel(*args_fwd, band=4))[0])
+    v_fwd = float(np.asarray(full_stem_kernel_banded(*args_fwd, band=4))[0])
+    v_rev = float(np.asarray(full_stem_kernel_banded(*args_rev, band=4))[0])
+    assert v_fwd > 0.0
+    assert v_fwd == v_rev  # order-normalized (longer sequence first)
+    np.testing.assert_allclose(v_fwd, dense, rtol=1e-4)
+
+
+def test_banded_log_matches_f64_magnitude():
+    """The scaled log engine stays finite and accurate where raw f32 would
+    overflow (values grow ~10^(0.15 n); the reference uses C++ doubles)."""
+    from stem_kernel_tpu.models.full_stem import full_stem_kernel_banded_log
+
+    rng2 = np.random.default_rng(5)
+    comp = {0: 3, 1: 2, 2: 1, 3: 0}
+    N = 120
+    stem = rng2.integers(0, 4, N // 3)
+    rc = np.array([comp[int(c)] for c in stem[::-1]], np.uint8)
+    mid = rng2.integers(0, 4, N - 2 * len(stem))
+    c = np.concatenate([stem, mid, rc]).astype(np.uint8)
+    bp = pair_weights(c, N)
+    args = (jnp.asarray(c[None]), jnp.asarray(c[None]),
+            jnp.asarray([N]), jnp.asarray([N]))
+    lg32 = float(np.asarray(full_stem_kernel_banded_log(
+        *args, jnp.asarray(bp[None], jnp.float32), jnp.asarray(bp[None], jnp.float32),
+        0.8, 1.0, 0.5, band=8))[0])
+    lg64 = float(np.asarray(full_stem_kernel_banded_log(
+        *args, jnp.asarray(bp[None], jnp.float64), jnp.asarray(bp[None], jnp.float64),
+        0.8, 1.0, 0.5, band=8))[0])
+    assert lg32 > 20.0  # raw value ~e^40+: far beyond f32 without scaling
+    np.testing.assert_allclose(lg32, lg64, atol=5e-5)
+
+
+def test_pallas_banded_matches_xla_banded():
+    """VMEM-resident Pallas kernel (interpret mode on CPU) == the XLA scan
+    engine, including unequal lengths and the log/scaling machinery."""
+    from stem_kernel_tpu.models.full_stem import full_stem_kernel_banded_log
+    from stem_kernel_tpu.ops.pallas_full_stem import full_stem_banded_pallas_log
+
+    for (a, b, band) in [("gggaaacccaugcaaggcauuca", "ggcaaagccgcaaagcggauacc", 4),
+                         ("gggaaacccaugcaagg", "gggaaaccc", 4),
+                         ("gcgcaaagcgcaugc", "ggcaaagcc", 6)]:
+        args = _pack_pair(a, b)
+        ref = np.asarray(full_stem_kernel_banded_log(*args, band=band))
+        got = np.asarray(full_stem_banded_pallas_log(
+            *args[:6], args[6], args[7], args[8], band=band))
+        np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_pallas_banded_batched_mixed_lengths():
+    from stem_kernel_tpu.models.full_stem import full_stem_kernel_banded_log
+    from stem_kernel_tpu.ops.pallas_full_stem import full_stem_banded_pallas_log
+
+    seqs = ["gggaaacccaugcaagg", "gggaaaccc", "gcgcaaagcgcaugc", "ggcaaagcc"]
+    n = max(len(s) for s in seqs) + 1
+    B = len(seqs)
+    x = np.zeros((B, n), np.uint8)
+    bp = np.zeros((B, n, n), np.float32)
+    lens = np.zeros(B, np.int32)
+    for i, s in enumerate(seqs):
+        c = encode(s)
+        x[i, : len(c)] = c
+        lens[i] = len(c)
+        bp[i, : len(c), : len(c)] = pair_weights(c, len(c))
+    xj = jnp.asarray(x)
+    bj = jnp.asarray(bp)
+    lj = jnp.asarray(lens)
+    y = jnp.roll(xj, 1, 0)
+    by = jnp.roll(bj, 1, 0)
+    ly = jnp.roll(lj, 0 + 1, 0)
+    ref = np.asarray(full_stem_kernel_banded_log(
+        xj, y, lj, ly, bj, by, 0.8, 1.0, 0.5, band=5))
+    got = np.asarray(full_stem_banded_pallas_log(
+        xj, y, lj, ly, bj, by, 0.8, 1.0, 0.5, band=5))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
