@@ -191,10 +191,14 @@ def enable_compile_cache() -> None:
     on-disk cache turns every run after the first into a cache hit."""
     import jax
 
+    import os
+
+    cache_dir = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "stem_kernel_tpu", "jax",
+    )
     if jax.config.jax_compilation_cache_dir is None:
-        jax.config.update(
-            "jax_compilation_cache_dir", "/tmp/stem_kernel_tpu_jax_cache"
-        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
 
 
 def run_app(

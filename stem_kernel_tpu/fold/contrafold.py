@@ -243,7 +243,21 @@ def load_contrafold_params(path: str) -> dict[str, np.ndarray]:
             elif not idx:
                 w[base] = np.asarray(val)
             else:
-                arr[tuple(int(i) for i in idx)] = val
+                # validate arity/bounds against the SCHEMA array: full
+                # CONTRAfold files carry non-canonical tokens (e.g.
+                # base_pair_AA splits into two indices against a rank-1
+                # array) that would otherwise surface as a bare IndexError
+                ints = tuple(int(i) for i in idx)
+                if len(ints) != arr.ndim or any(
+                    i < 0 or i >= s for i, s in zip(ints, arr.shape)
+                ):
+                    raise ValueError(
+                        f"{path}:{lineno}: feature {parts[0]!r} indexes "
+                        f"{base} with {ints}, outside its shape {arr.shape} "
+                        "(non-canonical feature outside the complementary "
+                        "feature space this model implements)"
+                    )
+                arr[ints] = val
     return w
 
 

@@ -58,7 +58,7 @@ def bucketed_gram(
             if p == q:
                 iu = np.triu_indices(len(idx_p))
                 ix, iy = iu[0].astype(np.int32), iu[1].astype(np.int32)
-                vals = eng._run_pairs(ix, iy)
+                vals = eng.run_pairs(ix, iy)
                 g[idx_p[ix], idx_p[iy]] = vals
                 g[idx_p[iy], idx_p[ix]] = vals
             else:
@@ -67,8 +67,8 @@ def bucketed_gram(
                     np.arange(len(idx_q), dtype=np.int32),
                     indexing="ij",
                 )
-                vals = eng._run_pairs(
-                    tt.ravel(), jj.ravel(), feats_y=eng._stack(feats_q)
+                vals = eng.run_pairs(
+                    tt.ravel(), jj.ravel(), feats_y=eng.stack_features(feats_q)
                 )
                 g[idx_p[tt.ravel()], idx_q[jj.ravel()]] = vals
                 g[idx_q[jj.ravel()], idx_p[tt.ravel()]] = vals

@@ -70,13 +70,13 @@ class PairKernelEngine:
             batch_size = max(n_dev, (batch_size // n_dev) * n_dev)
         self.batch_size = batch_size
         self._slab_batches = max(1, slab_batches)
-        self.features = self._stack(features)
+        self.features = self.stack_features(features)
         self.n = next(iter(self.features.values())).shape[0]
         self._slab_fns: dict[int, Callable] = {}
 
     # ---------------------------------------------------------------- device
 
-    def _stack(self, features: Mapping[str, np.ndarray]) -> dict[str, jax.Array]:
+    def stack_features(self, features: Mapping[str, np.ndarray]) -> dict[str, jax.Array]:
         """Features onto device, replicated over the mesh when one is set."""
         if self.mesh is None:
             return {k: jnp.asarray(v) for k, v in features.items()}
@@ -156,7 +156,7 @@ class PairKernelEngine:
 
     # ---------------------------------------------------------------- driver
 
-    def _run_pairs(
+    def run_pairs(
         self,
         ix: np.ndarray,
         iy: np.ndarray,
@@ -238,7 +238,7 @@ class PairKernelEngine:
             n_batches = -(-n_pairs // self.batch_size)
             sb = min(self._slab_batches, max(1, n_batches))
             ckpt = TileCheckpoint(checkpoint_path, self.n, sb * self.batch_size)
-        vals = self._run_pairs(
+        vals = self.run_pairs(
             iu[0].astype(np.int32), iu[1].astype(np.int32), checkpoint=ckpt
         )
         g = np.zeros((self.n, self.n), dtype=np.float32)
@@ -248,7 +248,10 @@ class PairKernelEngine:
             if normalize:
                 d = np.diag(g)
                 return np.exp(g - 0.5 * (d[:, None] + d[None, :])).astype(np.float32)
-            return np.exp(g.astype(np.float64))
+            # f64 exp for range, but a float32 matrix like every other path
+            # (unnormalized log-kernel values can exceed f32 range -> inf,
+            # same semantics as a raw overflow-prone kernel)
+            return np.exp(g.astype(np.float64)).astype(np.float32)
         if normalize:
             g = normalize_gram(g)
         return g
@@ -261,7 +264,7 @@ class PairKernelEngine:
         kernel_matrix.cpp:577-633).
         """
         idx = np.arange(self.n, dtype=np.int32) if sv_index is None else np.asarray(sv_index, np.int32)
-        vals = self._run_pairs(idx, idx)
+        vals = self.run_pairs(idx, idx)
         out = np.zeros(self.n, dtype=np.float32)
         out[idx] = vals
         return out
@@ -278,7 +281,7 @@ class PairKernelEngine:
         stay 0), matching CalcTestMatrix (kernel_matrix.cpp:112-182).
         Returns (rows: (T, N), self_values: (T,)).
         """
-        feats_t = self._stack(test_features)
+        feats_t = self.stack_features(test_features)
         n_test = next(iter(feats_t.values())).shape[0]
         cols = (
             np.arange(self.n, dtype=np.int32)
@@ -286,10 +289,10 @@ class PairKernelEngine:
             else np.asarray(sv_index, np.int32)
         )
         tt, jj = np.meshgrid(np.arange(n_test, dtype=np.int32), cols, indexing="ij")
-        vals = self._run_pairs(tt.ravel(), jj.ravel(), feats_x=feats_t)
+        vals = self.run_pairs(tt.ravel(), jj.ravel(), feats_x=feats_t)
         rows = np.zeros((n_test, self.n), dtype=np.float32)
         rows[tt.ravel(), jj.ravel()] = vals
-        self_vals = self._run_pairs(
+        self_vals = self.run_pairs(
             np.arange(n_test, dtype=np.int32),
             np.arange(n_test, dtype=np.int32),
             feats_x=feats_t,
@@ -302,3 +305,8 @@ def normalize_gram(g: np.ndarray) -> np.ndarray:
     """Cosine normalization K'ij = Kij / sqrt(Kii*Kjj) (kernel_matrix.cpp:560-571)."""
     d = np.sqrt(np.clip(np.diag(g), 1e-300, None))
     return g / np.outer(d, d)
+
+
+# Backwards-compatible private aliases (pre-round-4 callers)
+PairKernelEngine._run_pairs = PairKernelEngine.run_pairs
+PairKernelEngine._stack = PairKernelEngine.stack_features

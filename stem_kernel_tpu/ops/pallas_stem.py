@@ -46,9 +46,12 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _block_pairs(n: int, precision: str) -> int:
+def _block_pairs(n: int) -> int:
     """Pairs per grid block: keep the block's VMEM footprint near ~4 MB
-    (6 f32 inputs + 2 f32 scratch)."""
+    (6 f32 inputs + 2 f32 scratch).  With Pallas double-buffering the
+    inputs, the true peak is ~2x the input share (~5 MB at the cap), which
+    leaves headroom under the 16 MB scoped-VMEM budget up to n_pad = 512
+    (one pair/block, ~8 MB before buffering); larger n is untested."""
     per_pair = 8 * n * n * 4
     bb = max(1, (4 << 20) // per_pair)
     return 1 << (bb.bit_length() - 1)  # round down to a power of two
@@ -133,7 +136,7 @@ def stem_fixed_point(
         precision = "highest"
     bsz, n, _ = ns.shape
     n_pad = _round_up(n, LANE)
-    bb = _block_pairs(n_pad, precision)
+    bb = _block_pairs(n_pad)
     b_pad = _round_up(bsz, bb)
 
     def pad_m(a):

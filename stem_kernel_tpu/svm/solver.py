@@ -75,8 +75,6 @@ def smo_solve(
         G = y * (K @ (y * alpha)) + np.asarray(p, dtype=np.float64)
     C = np.where(y > 0, C_p, C_n)
     Kd = np.ascontiguousarray(np.diag(K)).astype(np.float64)
-    if max_iter is None:
-        max_iter = max(10_000_000, 100 * n)
 
     yG = y * G
     it = 0

@@ -18,7 +18,7 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)  # f64 validation paths in fold tests
 # Tests use their OWN persistent cache dir: sharing the product cache
-# (/tmp/stem_kernel_tpu_jax_cache) risks racing concurrent TPU processes
+# (~/.cache/stem_kernel_tpu/jax) risks racing concurrent TPU processes
 # (a cache write segfaulted under contention) and pollutes the cache that
 # exists to keep warm TPU CLI runs warm — while a private dir still saves
 # minutes of CPU recompiles across suite runs.

@@ -179,3 +179,17 @@ def test_dotbracket_parser():
     assert parse_dotbracket("((..))") == ((0, 5), (1, 4))
     with pytest.raises(ValueError):
         parse_dotbracket("((.)")
+
+
+def test_non_canonical_feature_rejected_with_location(tmp_path):
+    """Full CONTRAfold v2.02 files carry non-complementary tokens (e.g.
+    base_pair_AA); the loader must reject them with file:line context, not
+    a bare IndexError (ADVICE r3 #1)."""
+    import pytest
+
+    from stem_kernel_tpu.fold.contrafold import load_contrafold_params
+
+    p = tmp_path / "w.params"
+    p.write_text("base_pair_AU 1.5\nbase_pair_AA 0.25\n")
+    with pytest.raises(ValueError, match=r"w.params:2.*base_pair_AA"):
+        load_contrafold_params(str(p))
