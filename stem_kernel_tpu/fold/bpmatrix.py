@@ -206,26 +206,28 @@ def alifold_covariance(
 
     prof = profile_from_alignment(aln)
     consensus = np.argmax(prof[:, :4], axis=1).astype(np.uint8)
-    return consensus, w_extra, pt_major
+    return consensus, w_extra, pt_major, code
 
 
 def alifold_bpp(aln: Alignment, opts: BPMatrixOptions | None = None) -> np.ndarray:
-    """Covariance-scored consensus fold over alignment columns (ALIFOLD).
+    """Covariance-scored TRUE-ALIFOLD over alignment columns (ALIFOLD).
 
-    The consensus sequence is folded with per-(i, j) log-weight adjustments
-    from :func:`alifold_covariance` — compensatory mutations reward a pair,
-    inconsistent rows penalize it, unpairable columns are excluded — the
-    RNAalifold recipe the reference reaches through alipf_fold.  The pair
-    gate is ROW-AWARE, like alipf_fold's: a column pair is admissible when
-    ANY row pairs canonically (typed by the majority canonical row pair via
-    ``pt_override``), not only when the consensus sequence pairs; minority
-    support is discounted by the w_extra non-canonical penalty."""
+    Hofacker's alipf_fold recipe, the engine the reference reaches at
+    /root/reference/common/bpmatrix.cpp:355-397: every loop energy is
+    evaluated PER ROW (each row's own pair types, stacks, mismatches and
+    dangles) and averaged across rows — see tables._build_luts_averaged —
+    plus per-(i, j) covariance log-weight adjustments from
+    :func:`alifold_covariance` (compensatory mutations reward a pair,
+    inconsistent rows penalize it, unpairable columns are excluded).  The
+    pair gate is ROW-AWARE, like alipf_fold's: a column pair is admissible
+    when ANY row pairs canonically (typed via ``pt_override``), with
+    minority support discounted by the w_extra non-canonical penalty."""
     opts = opts or BPMatrixOptions()
     from .mccaskill_scaled import mccaskill_bpp_batch_scaled
 
-    consensus, w_extra, pt_major = alifold_covariance(aln)
+    _, w_extra, pt_major, rows = alifold_covariance(aln)
     bpp, _ = mccaskill_bpp_batch_scaled(
-        consensus[None, :], np.array([aln.length]),
+        rows[None, :, :].astype(np.int32), np.array([aln.length]),
         opts.resolved_params(), w_extra=w_extra[None],
         pt_override=pt_major[None],
     )

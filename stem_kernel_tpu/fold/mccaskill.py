@@ -120,7 +120,7 @@ def _luts_f(codes, length, params, w_extra, dt, pt_ov=None):
 def _inside(codes: jax.Array, length: jax.Array, params_key, w_extra, pt_ov, ia, ib, ipen, icls, dt_probe):
     """Inside pass.  Returns span-layout tables + luts dict."""
     params = _PARAMS_REGISTRY[params_key]
-    n = codes.shape[0]
+    n = codes.shape[-1]  # codes may be (R, n) alignment rows (true alifold)
     dt = dt_probe.dtype
     L = _luts_f(codes, length, params, w_extra, dt, pt_ov)
 
@@ -252,7 +252,7 @@ def _outside(codes, length, params_key, w_extra, pt_ov, ia, ib, ipen, icls,
     Finally bpp[i,j] = exp(Qb[i,j] + Ob[i,j] - logZ).
     """
     params = _PARAMS_REGISTRY[params_key]
-    n = codes.shape[0]
+    n = codes.shape[-1]  # codes may be (R, n) alignment rows (true alifold)
     dt = Qb.dtype
     L = _luts_f(codes, length, params, w_extra, dt, pt_ov)
 

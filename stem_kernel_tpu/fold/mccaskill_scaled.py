@@ -174,7 +174,7 @@ def _inside_scaled(codes, length, params_key, w_extra, pt_ov):
     offsets; ql (n+1,) log external prefixes; logZ scalar.
     """
     params = _PARAMS_REGISTRY[params_key]
-    n = codes.shape[0]
+    n = codes.shape[-1]  # codes may be (R, n) alignment rows (true alifold)
     dt = jnp.float32
 
     logs, exps = _span_tables(codes, length, params, w_extra, dt, pt_ov)
@@ -341,7 +341,7 @@ def _inside_scaled(codes, length, params_key, w_extra, pt_ov):
 def _outside_scaled(codes, length, params_key, w_extra, pt_ov, ins):
     """Scaled outside pass -> bpp (n, n) in [i, j] layout."""
     params = _PARAMS_REGISTRY[params_key]
-    n = codes.shape[0]
+    n = codes.shape[-1]  # codes may be (R, n) alignment rows (true alifold)
     dt = jnp.float32
 
     logs, exps = _span_tables(codes, length, params, w_extra, dt, pt_ov)
@@ -574,7 +574,9 @@ def mccaskill_bpp_batch_scaled(
     params = params or default_params()
     key = _register(params)
     codes_np = np.asarray(codes_batch)
-    b, n = codes_np.shape
+    # (B, n) single sequences, or (B, R, n) alignment-row batches for the
+    # true-alifold averaged LUTs (tables._build_luts_averaged)
+    b, n = codes_np.shape[0], codes_np.shape[-1]
     cap = _batch_bucket(1 << 30, n)  # length-dependent chunk cap
     if b > cap:
         # bounded in-flight chunked dispatch: keep at most MAX_PENDING chunk
@@ -609,9 +611,13 @@ def mccaskill_bpp_batch_scaled(
 
 def _bpp_dispatch(codes_np, lens_np, key, w_extra, pt_override=None):
     """Pad one chunk to its batch bucket and dispatch (async)."""
-    b, n = codes_np.shape
+    b, n = codes_np.shape[0], codes_np.shape[-1]
     b_pad = _batch_bucket(b, n)
-    codes_np = np.pad(codes_np, ((0, b_pad - b), (0, 0)))
+    pad_w = [(0, b_pad - b)] + [(0, 0)] * (codes_np.ndim - 1)
+    # batch padding for row batches uses all-gap rows (code 4): they join
+    # no averaged entry, so padded examples still fold a zero-length seq
+    codes_np = np.pad(codes_np, pad_w,
+                      constant_values=4 if codes_np.ndim == 3 else 0)
     lens_p = np.pad(lens_np, (0, b_pad - b))
     codes = jnp.asarray(codes_np, jnp.int32)
     lens = jnp.asarray(lens_p, jnp.int32)

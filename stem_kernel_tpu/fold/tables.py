@@ -59,7 +59,13 @@ def build_luts(
     gate (the reference reaches alipf_fold's per-row pair admissibility,
     /root/reference/common/bpmatrix.cpp:355-397): a column pair is typed by
     the majority canonical row pair instead of the consensus sequence.
+
+    ``codes`` with ndim == 2 means (R, n) ALIGNMENT ROWS (gap/unknown >= 4)
+    and switches to Hofacker per-row energy averaging — see
+    :func:`_build_luts_averaged`.
     """
+    if codes.ndim == 2:
+        return _build_luts_averaged(codes, length, params, w_extra, pt_override)
     n = codes.shape[0]
     ii = jnp.arange(n)
     dmat = ii[None, :] - ii[:, None]  # j - i
@@ -300,3 +306,61 @@ def _apply_special_hairpins(hairpin, codes, dmat, params: EnergyParams, gu_gate)
 
 def _code_of(ch: str) -> int:
     return {"A": 0, "C": 1, "G": 2, "U": 3, "T": 3}.get(ch.upper(), -1)
+
+
+def _build_luts_averaged(rows, length, params: EnergyParams, w_extra,
+                         pt_override=None) -> dict[str, jax.Array]:
+    """True-alifold LUTs: per-row energies, averaged across alignment rows.
+
+    Vienna's alipf_fold (reached by the reference at
+    /root/reference/common/bpmatrix.cpp:355-397) evaluates every loop
+    energy PER SEQUENCE and Boltzmann-weights the average over rows
+    (Hofacker 2002).  Here each row gets its own full LUT set (its own
+    pair types, stacks, mismatches, dangles), and every table entry is the
+    masked mean over the rows for which it is defined — so an alignment
+    whose rows disagree on a helix gets averaged stack/mismatch/closing
+    energies, not the consensus sequence's.
+
+    Documented deviations from alipf_fold:
+    - loop SIZES are measured in alignment columns for every row (Vienna
+      maps to each row's ungapped coordinates via a2s[]);
+    - rows that cannot form a canonical pair at (i, j) are excluded from
+      that entry's average (Vienna scores them as nonstandard pairs); the
+      covariance term's non-canonical penalty (``w_extra`` from
+      bpmatrix.alifold_covariance) carries that penalty instead;
+    - gapped NEIGHBOUR positions are imputed with the column consensus for
+      mismatch/dangle lookups (pair admissibility itself never is).
+
+    All-gap rows contribute to no entry, which makes all-gap row PADDING
+    exact — batched alignments of different depths can share one (R, n)
+    pad shape.
+    """
+    R, n = rows.shape
+    gap = rows >= 4
+    onehot = ((rows[..., None] == jnp.arange(4)) & ~gap[..., None])
+    consensus = jnp.argmax(onehot.sum(0), axis=-1)
+    filled = jnp.where(gap, consensus, jnp.clip(rows, 0, 3)).astype(jnp.int32)
+    PT = jnp.asarray(PAIR_TYPE)
+    rc = jnp.clip(rows, 0, 3)
+    pt_r = PT[rc[:, :, None], rc[:, None, :]]
+    pt_r = jnp.where(gap[:, :, None] | gap[:, None, :], -1, pt_r)
+
+    luts_r = jax.vmap(
+        lambda c, p: build_luts(c, length, params, None, pt_override=p)
+    )(filled, pt_r)
+
+    out: dict[str, jax.Array] = {}
+    for k, v in luts_r.items():
+        valid = v > NEG / 2
+        cnt = valid.sum(axis=0)
+        s = jnp.where(valid, v, 0.0).sum(axis=0)
+        out[k] = jnp.where(cnt > 0, s / jnp.maximum(cnt, 1), NEG)
+
+    wp = out["wpair"]
+    if w_extra is not None:
+        wp = jnp.where(wp > NEG / 2, wp + w_extra, NEG)
+    if pt_override is not None:
+        # row-aware admissibility gate (majority pair type, -1 = no row pairs)
+        wp = jnp.where(pt_override >= 0, wp, NEG)
+    out["wpair"] = wp
+    return out

@@ -312,7 +312,7 @@ def test_alifold_covariance_scoring():
         "ggcgaaaacgcc",
         "agcgaaaacgcu",
     ])
-    cons, w_extra, pt_major = alifold_covariance(aln)
+    cons, w_extra, pt_major, _rows = alifold_covariance(aln)
     L = aln.length
     assert w_extra.shape == (L, L)
     # compensatory pair gets a positive covariance bonus
@@ -367,7 +367,7 @@ def test_alifold_minority_row_pair_not_gated_out():
         "aaaaaaaaaccc",
         "aaaaaaaaaccc",
     ])
-    cons, w_extra, pt_major = alifold_covariance(aln)
+    cons, w_extra, pt_major, _rows = alifold_covariance(aln)
     # consensus at columns 0-2 is A -> A:C unpairable on the old gate
     assert cons[0] == 0 and cons[11] == 1
     # but the row-aware type is the minority row's G:C
@@ -392,3 +392,42 @@ def test_alifold_consistent_family_close_to_single_fold():
     # producers agree on where the helix is
     i, j = np.unravel_index(np.argmax(b_avg), b_avg.shape)
     assert b_ali[i, j] > 0.3
+
+
+def test_true_alifold_row_energy_averaging():
+    """ALIFOLD evaluates loop energies per row and averages (Hofacker's
+    alipf_fold, /root/reference/common/bpmatrix.cpp:355-397) — identical
+    rows reduce exactly to the single-sequence fold, row order is
+    irrelevant, and disagreeing rows produce a fold DIFFERENT from folding
+    the consensus sequence (VERDICT r3 missing #3)."""
+    from stem_kernel_tpu.fold.bpmatrix import (
+        alifold_bpp, alifold_covariance, fold_sequences,
+    )
+    from stem_kernel_tpu.fold.mccaskill_scaled import mccaskill_bpp_batch_scaled
+    from stem_kernel_tpu.fold.params import default_params
+    from stem_kernel_tpu.io.profile import Alignment
+
+    s1 = "gggcgcaagcuugaaagcgccc"
+    s2 = "gagcgcaagcucgaaagcgccc"
+
+    # identical rows == plain fold (covariance 0, averaging trivial)
+    b_ali = alifold_bpp(Alignment(rows=[s1, s1, s1]))
+    b_one = fold_sequences([s1])[0]
+    np.testing.assert_allclose(b_ali, b_one, atol=5e-5)
+
+    # row order invariance
+    a12 = alifold_bpp(Alignment(rows=[s1, s2]))
+    a21 = alifold_bpp(Alignment(rows=[s2, s1]))
+    np.testing.assert_allclose(a12, a21, atol=1e-6)
+
+    # disagreeing rows: averaged per-row energies != consensus-sequence fold
+    cons, w_extra, pt_major, _rows = alifold_covariance(Alignment(rows=[s1, s2]))
+    b_cons, _ = mccaskill_bpp_batch_scaled(
+        cons[None].astype(np.int32), np.array([len(s1)]), default_params(),
+        w_extra=w_extra[None], pt_override=pt_major[None])
+    assert np.abs(a12 - np.asarray(b_cons[0])).max() > 1e-3
+
+    # gapped rows fold finitely (gap positions cannot pair; neighbours
+    # impute the column consensus)
+    a_gap = alifold_bpp(Alignment(rows=[s1, "ggg-gcaagcuugaaagcg-cc"]))
+    assert np.isfinite(a_gap).all() and a_gap.sum() > 0
