@@ -53,6 +53,7 @@ class AppOptions:
     pf_ts_files: list[str] = field(default_factory=list)
     stream_chunk: int = 64  # test examples featurized per predict chunk
     devices: int = 0  # 0 = all global devices; 1 = single-device dispatch
+    checkpoint: str = ""  # train-Gram checkpoint/resume directory
 
 
 def add_common_options(p: argparse.ArgumentParser) -> None:
@@ -76,6 +77,11 @@ def add_common_options(p: argparse.ArgumentParser) -> None:
                         "JAX_NUM_PROCESSES / JAX_PROCESS_ID per process")
     p.add_argument("--single-device", action="store_true",
                    help="force plain single-device dispatch (same as --devices 1)")
+    p.add_argument("--checkpoint", default="",
+                   help="directory for slab-granular Gram checkpointing: a "
+                        "restarted train run resumes, skipping completed "
+                        "slabs (the reference restarts multi-hour MPI Gram "
+                        "runs from zero)")
     p.add_argument("--trace-dir", default="",
                    help="write a jax.profiler trace of the run to this "
                         "directory (view with TensorBoard / xprof)")
@@ -116,6 +122,7 @@ def parse_positional(ns: argparse.Namespace) -> AppOptions:
     opts.use_pf_scale_file = getattr(ns, "use_pf_scale_file", False)
     opts.stream_chunk = getattr(ns, "stream_chunk", 64)
     opts.devices = 1 if getattr(ns, "single_device", False) else getattr(ns, "devices", 0)
+    opts.checkpoint = getattr(ns, "checkpoint", "")
     if "--test" in extra:
         opts.predict_mode = True
         x = extra.index("--test")
@@ -276,13 +283,15 @@ def _run_app_inner(opts, featurize, make_kernel_fn, *, batch_size, mesh,
             g = bucketed_gram(
                 buckets, make_kernel_fn, normalize=opts.normalize,
                 batch_size=batch_size, mesh=mesh, log_values=log_kernel,
+                checkpoint_path=opts.checkpoint or None,
             )
         else:
             feats, aux = featurize(train_alns)
             kernel_fn = make_kernel_fn(aux)
             eng = PairKernelEngine(kernel_fn, feats, batch_size=batch_size,
                                    mesh=mesh, log_values=log_kernel)
-            g = eng.gram(normalize=opts.normalize)
+            g = eng.gram(normalize=opts.normalize,
+                         checkpoint_path=opts.checkpoint or None)
         if io_rank:
             write_precomputed(opts.output, train_labels, g)
         print(f"elapsed time: {time.time()-t_start:.1f}s", file=sys.stderr)

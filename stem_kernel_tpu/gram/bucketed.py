@@ -36,13 +36,22 @@ def bucketed_gram(
     mesh=None,
     log_values: bool = False,
     merge_aux: Callable[[object, object], object] = max,
+    checkpoint_path: str | None = None,
 ) -> np.ndarray:
     """Full N x N Gram from bucketed features.
 
     ``make_kernel_fn(aux)`` builds the batched kernel for a block whose two
     buckets' aux values merge via ``merge_aux`` (default max — correct for
     iteration-count bounds).
+
+    ``checkpoint_path``: directory for per-block slab-granular
+    checkpoint/resume (gram.checkpoint.TileCheckpoint); a restarted run
+    skips every completed slab of every bucket block.
     """
+    import os
+
+    if checkpoint_path is not None:
+        os.makedirs(checkpoint_path, exist_ok=True)
     n = sum(len(idx) for idx, _, _ in buckets)
     g = np.zeros((n, n), dtype=np.float32)
     engines: dict[int, PairKernelEngine] = {}
@@ -55,10 +64,16 @@ def bucketed_gram(
                 kernel_fn, feats_p, batch_size=batch_size,
                 slab_batches=slab_batches, mesh=mesh, log_values=log_values,
             )
+            ckpt = None
+            if checkpoint_path is not None:
+                blk = os.path.join(checkpoint_path, f"block_{p}_{q}")
+                n_pairs = (len(idx_p) * (len(idx_p) + 1) // 2 if p == q
+                           else len(idx_p) * len(idx_q))
+                ckpt = eng.checkpoint_for(blk, n_pairs=n_pairs, n=len(idx_p))
             if p == q:
                 iu = np.triu_indices(len(idx_p))
                 ix, iy = iu[0].astype(np.int32), iu[1].astype(np.int32)
-                vals = eng.run_pairs(ix, iy)
+                vals = eng.run_pairs(ix, iy, checkpoint=ckpt)
                 g[idx_p[ix], idx_p[iy]] = vals
                 g[idx_p[iy], idx_p[ix]] = vals
             else:
@@ -68,7 +83,8 @@ def bucketed_gram(
                     indexing="ij",
                 )
                 vals = eng.run_pairs(
-                    tt.ravel(), jj.ravel(), feats_y=eng.stack_features(feats_q)
+                    tt.ravel(), jj.ravel(), feats_y=eng.stack_features(feats_q),
+                    checkpoint=ckpt,
                 )
                 g[idx_p[tt.ravel()], idx_q[jj.ravel()]] = vals
                 g[idx_q[jj.ravel()], idx_p[tt.ravel()]] = vals

@@ -19,18 +19,22 @@ import numpy as np
 
 
 class TileCheckpoint:
-    def __init__(self, path: str, n: int, batch_size: int):
+    def __init__(self, path: str, n: int, batch_size: int,
+                 n_pairs: int | None = None):
+        """``n_pairs`` defaults to the upper triangle n(n+1)/2; rectangular
+        blocks (bucketed Gram cross-blocks, test rows) pass it explicitly."""
         self.path = path
         self.n = n
         self.batch_size = batch_size
-        self.n_pairs = n * (n + 1) // 2
+        self.n_pairs = n * (n + 1) // 2 if n_pairs is None else n_pairs
         self.n_batches = -(-self.n_pairs // batch_size)
         meta_path = path + ".meta.json"
         values_path = path + ".values.npy"
         done_path = path + ".done.npy"
         if os.path.exists(meta_path):
             meta = json.load(open(meta_path))
-            if meta != {"n": n, "batch_size": batch_size}:
+            if meta != {"n": n, "batch_size": batch_size,
+                        "n_pairs": self.n_pairs}:
                 raise ValueError(
                     f"checkpoint {path} was written for {meta}, "
                     f"not n={n} batch_size={batch_size}"
@@ -44,7 +48,8 @@ class TileCheckpoint:
             self.done = np.lib.format.open_memmap(
                 done_path, mode="w+", dtype=np.bool_, shape=(self.n_batches,)
             )
-            json.dump({"n": n, "batch_size": batch_size}, open(meta_path, "w"))
+            json.dump({"n": n, "batch_size": batch_size,
+                       "n_pairs": self.n_pairs}, open(meta_path, "w"))
 
     def is_done(self, batch_idx: int) -> bool:
         return bool(self.done[batch_idx])

@@ -222,6 +222,19 @@ class PairKernelEngine:
         drain(0)
         return out[:n_pairs]
 
+    def checkpoint_for(self, path: str, n_pairs: int | None = None,
+                       n: int | None = None):
+        """A TileCheckpoint whose batch granularity matches this engine's
+        slab size (so resume alignment is guaranteed).  Triangle by default;
+        pass ``n_pairs`` for rectangular pair lists."""
+        from .checkpoint import TileCheckpoint
+
+        n = self.n if n is None else n
+        total = n * (n + 1) // 2 if n_pairs is None else n_pairs
+        n_batches = -(-total // self.batch_size)
+        sb = min(self._slab_batches, max(1, n_batches))
+        return TileCheckpoint(path, n, sb * self.batch_size, n_pairs=n_pairs)
+
     # ------------------------------------------------------------------- API
 
     def gram(self, *, normalize: bool = False, checkpoint_path: str | None = None) -> np.ndarray:
@@ -232,12 +245,7 @@ class PairKernelEngine:
         iu = np.triu_indices(self.n)
         ckpt = None
         if checkpoint_path is not None:
-            from .checkpoint import TileCheckpoint
-
-            n_pairs = self.n * (self.n + 1) // 2
-            n_batches = -(-n_pairs // self.batch_size)
-            sb = min(self._slab_batches, max(1, n_batches))
-            ckpt = TileCheckpoint(checkpoint_path, self.n, sb * self.batch_size)
+            ckpt = self.checkpoint_for(checkpoint_path)
         vals = self.run_pairs(
             iu[0].astype(np.int32), iu[1].astype(np.int32), checkpoint=ckpt
         )

@@ -256,3 +256,51 @@ def test_gram_sharded_factored_bpla_kernel():
                               mesh=mesh).gram(normalize=True)
     g_ref = PairKernelEngine(fn, feats_b, batch_size=8).gram(normalize=True)
     np.testing.assert_allclose(g_mesh, g_ref, rtol=2e-4, atol=2e-6)
+
+
+def test_bucketed_gram_checkpoint_resume(tmp_path):
+    """Per-block slab checkpointing in the bucketed Gram assembly: an
+    interrupted run resumes, loading finished slabs instead of recomputing
+    (VERDICT r3 / BASELINE config 5: checkpointed sharded Gram)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from stem_kernel_tpu.gram.bucketed import bucketed_gram
+
+    rng = np.random.default_rng(11)
+    n1, n2, d = 7, 5, 3
+    f1 = rng.normal(size=(n1, d)).astype(np.float32)
+    f2 = rng.normal(size=(n2, d)).astype(np.float32)
+    buckets = [
+        (np.arange(n1), {"v": f1}, 1),
+        (np.arange(n1, n1 + n2), {"v": f2}, 1),
+    ]
+
+    def make_fn(_aux):
+        def fn(x, y):
+            return jnp.sum(x["v"] * y["v"], axis=-1)
+        return fn
+
+    ck = str(tmp_path / "ck")
+    g1 = bucketed_gram(buckets, make_fn, batch_size=4, slab_batches=2,
+                       checkpoint_path=ck)
+    files = sorted(os.listdir(ck))
+    assert any("block_0_0" in f for f in files)
+    assert any("block_0_1" in f for f in files)
+    assert any("block_1_1" in f for f in files)
+
+    # resume: mark values recognizably, all slabs done -> values come from
+    # the checkpoint, not recomputation
+    import glob as _glob
+    for vp in sorted(_glob.glob(os.path.join(ck, "*.values.npy"))):
+        v = np.lib.format.open_memmap(vp, mode="r+")
+        v[:] = 7.5
+        del v
+    g2 = bucketed_gram(buckets, make_fn, batch_size=4, slab_batches=2,
+                       checkpoint_path=ck)
+    assert np.allclose(g2[g2 != 0], 7.5)
+    # fresh directory reproduces the true values
+    g3 = bucketed_gram(buckets, make_fn, batch_size=4, slab_batches=2,
+                       checkpoint_path=str(tmp_path / "ck2"))
+    np.testing.assert_allclose(g3, g1, rtol=1e-6)
