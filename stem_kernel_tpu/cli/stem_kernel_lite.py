@@ -93,6 +93,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(full f32, validation), 'default' (bf16)")
     s.add_argument("--length-band", type=int, default=10,
                    help="band of length difference between bases")
+    s.add_argument("--coarse-shapes", action="store_true",
+                   help="featurize the whole corpus as ONE shape bucket "
+                        "(geometric corpus-max padding) instead of "
+                        "per-node-count buckets: <=2x padded compute, but "
+                        "a fresh process loads a handful of cached XLA "
+                        "executables instead of dozens — the fast-startup "
+                        "mode for short-lived CLI runs")
     t = p.add_argument_group("Options for the string kernel")
     t.add_argument("-a", "--alpha", type=float, default=0.2,
                    help="weight of the RIBOSUM for the string kernel")
@@ -110,6 +117,7 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     ns = parse_args_with_positionals(build_parser(), argv)
     opts = parse_positional(ns)
+    bp_opts = fold_opts_from(ns)
     config = StemLiteConfig(
         th=ns.basepair,
         beta=ns.beta,
@@ -124,7 +132,7 @@ def main(argv=None) -> int:
         no_ribosum=ns.no_ribosum,
         no_string=ns.no_string,
         use_log=ns.log,
-        bp_opts=fold_opts_from(ns),
+        bp_opts=bp_opts,
         precision=ns.precision,
     )
 
@@ -139,7 +147,8 @@ def main(argv=None) -> int:
     def make_fn(iters):
         return make_stem_lite_kernel_fn(config, iters)
 
-    run_app(opts, featurize, make_fn, featurize_buckets=featurize_buckets,
+    run_app(opts, featurize, make_fn,
+            featurize_buckets=None if ns.coarse_shapes else featurize_buckets,
             merge_aux=max)
     return 0
 

@@ -389,3 +389,19 @@ def test_stem_kernel_cli_banded_path(tmp_path):
         jnp.asarray(bp), jnp.asarray(bp), 0.8, 1.0, 0.5, band=6))
     want01 = np.exp(lg[0] - 0.5 * (diag[0] + diag[1]))
     np.testing.assert_allclose(g[0, 1], want01, rtol=2e-4)
+
+
+def test_coarse_shapes_matches_bucketed(tmp_path):
+    """--coarse-shapes (single corpus-max shape bucket, the fast-startup
+    mode) must produce the same Gram as the default bucketed path."""
+    pos_fa, neg_fa = setup_data(tmp_path)
+    out_a = str(tmp_path / "a.dat")
+    out_b = str(tmp_path / "b.dat")
+    args = ["-n", "--single-device", "+1", pos_fa, "-1", neg_fa]
+    assert stem_kernel_lite.main([args[0], args[1], out_a] + args[2:]) == 0
+    assert stem_kernel_lite.main(
+        [args[0], args[1], "--coarse-shapes", out_b] + args[2:]) == 0
+    la, ga = read_precomputed(out_a)
+    lb, gb = read_precomputed(out_b)
+    assert la == lb
+    np.testing.assert_allclose(ga, gb, rtol=2e-4, atol=2e-6)
