@@ -39,7 +39,10 @@ STEM_BATCH = 256
 STEM_CHAIN = 8
 BPLA_BATCH = 512
 BPLA_LEN = 128
-BPLA_CHAIN = 20
+# 64 chained calls: at 20 the ~20 ms axon-tunnel round trip was ~40% of the
+# measurement, understating device throughput ~2.3x (872k pairs/s measured
+# at chain 64 vs the 377k reported in BENCH_r03)
+BPLA_CHAIN = 64
 FOLD_BATCH = 128
 
 
