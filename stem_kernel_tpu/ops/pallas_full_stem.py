@@ -50,23 +50,36 @@ def _kernel(gap: float, stack: float, subst: float, W: int, NB: int,
             bpx_ref, off_ref, dj_ref, e2_ref, egk_ref,
             dk_ref, wl_ref, eq1_ref, bw0_ref,
             out_ref,
-            K0, G0, K1, G1, G0pp, BW, logS):
+            KG0, KG1, G0pp, BW, logS):
+    """One level of the banded scan.
+
+    K and G states are STACKED as (2W, L) planes (rows 0..W-1 the K half,
+    W..2W-1 the G half): every re-anchor shift, mask application, cascade
+    and the C1 contraction touch one combined array instead of two, and the
+    G-half's gap factors ride along as per-sublane coefficient columns.
+    The in-half sublane shifts are 4-piece concats so halves never mix.
+    """
     d_idx = pl.program_id(1)  # level d = d_idx + 1
     L = NB * W
     f32 = jnp.float32
     g = f32(gap)
+    lng = f32(np.log(gap))
 
     wl = wl_ref[0, 0, :].astype(jnp.int32)            # lane sub-index l
-    wk = jax.lax.broadcasted_iota(jnp.int32, (W, L), 0)
+    wk2 = jax.lax.broadcasted_iota(jnp.int32, (2 * W, L), 0)
+    wkm = jnp.where(wk2 >= W, wk2 - W, wk2)           # in-half window row
+    # per-half coefficient columns: K rows 1, G rows gap
+    cg = jnp.where(wk2[:, :1] >= W, g, f32(1.0))      # (2W, 1)
 
     @pl.when(d_idx == 0)
     def _init():
-        # level-0 states: K0 = 1; G0 = g^(l-k) on l >= k; rest 0
-        rel = wl[None, :] - wk
-        G0[...] = jnp.where(rel >= 0, jnp.exp(rel.astype(f32) * f32(np.log(gap))), 0.0)
-        K0[...] = jnp.ones((W, L), f32)
-        K1[...] = jnp.zeros((W, L), f32)
-        G1[...] = jnp.zeros((W, L), f32)
+        # level-0 states: K0 = 1; G0 = g^(l-k) on l >= k; K1 = G1 = 0
+        rel = wl[None, :] - wkm
+        KG0[...] = jnp.where(
+            wk2 < W, 1.0,
+            jnp.where(rel >= 0, jnp.exp(rel.astype(f32) * lng), 0.0),
+        )
+        KG1[...] = jnp.zeros((2 * W, L), f32)
         G0pp[...] = jnp.zeros((W, L), f32)
         BW[...] = bw0_ref[0, ...]
         logS[0, 0] = f32(0.0)
@@ -79,29 +92,31 @@ def _kernel(gap: float, stack: float, subst: float, W: int, NB: int,
     egk = egk_ref[0, 0, 0, :]
 
     def roll_i(x):  # value of block i+1, window-aligned: lanes left by W
-        return jnp.concatenate([x[:, W:], jnp.zeros((W, W), f32)], axis=1)
+        h = x.shape[0]
+        return jnp.concatenate([x[:, W:], jnp.zeros((h, W), f32)], axis=1)
 
-    def kshift(x, fill):  # new[wk] = old[wk-1], entering row 0 = fill*old[0]
-        return jnp.concatenate([fill * x[:1], x[:-1]], axis=0)
+    def kshift2(x, fk, fg):
+        """Per-half sublane shift down: new[wk] = old[wk-1], entering row 0
+        of each half = fill * its old row 0."""
+        return jnp.concatenate(
+            [fk * x[:1], x[:W - 1], fg * x[W:W + 1], x[W:2 * W - 1]], axis=0
+        )
 
-    def kshift_up(x, fill):  # new[wk] = old[wk+1], entering last row = fill*old[-1]
+    def kshift_up(x, fill):  # (W, L): new[wk] = old[wk+1], clamp last row
         return jnp.concatenate([x[1:], fill * x[-1:]], axis=0)
 
-    def lshift(x, fill):  # new[wl] = old[wl+1] in-block; entering l edge = fill*old
-        r = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
-        return jnp.where((wl == W - 1)[None, :], fill * x, r)
-
-    def lshift_dn(x, fill):  # new[wl] = old[wl-1] in-block; entering low edge
+    def lshift_dn(x, fill):  # (W, L): new[wl] = old[wl-1] in-block, clamp low
         r = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
         return jnp.where((wl == 0)[None, :], fill * x, r)
 
     # ---- state re-anchoring (staircase window algebra, full_stem.py) ----
-    t = roll_i(K1[...])
-    K1b = jnp.where(dk[None, :], kshift(t, 1.0), t)
-    t = roll_i(G1[...])
-    G1b = jnp.where(dk[None, :], kshift(t, g), t)
-    K0b = jnp.where(dj[None, :], lshift(K0[...], 1.0), K0[...])
-    G0b = jnp.where(dj[None, :], lshift(G0[...], g), G0[...])
+    t = roll_i(KG1[...])
+    KG1b = jnp.where(dk[None, :], kshift2(t, 1.0, g), t)
+    x0 = KG0[...]
+    r = jnp.concatenate([x0[:, 1:], x0[:, -1:]], axis=1)  # l+1 read in-block
+    KG0b = jnp.where(
+        dj[None, :], jnp.where((wl == W - 1)[None, :], cg * x0, r), x0
+    )
     t = roll_i(G0pp[...])
     base = jnp.where(dk[None, :], t, kshift_up(t, 1.0))
     base = jnp.where(dj[None, :], base, lshift_dn(base, 1.0))
@@ -109,76 +124,71 @@ def _kernel(gap: float, stack: float, subst: float, W: int, NB: int,
     # ---- bp_y window: block shift absorbs the l-advance; conditional
     # k-shift with the entering low-k row streamed in ----
     t = roll_i(BW[...])
-    t = jnp.where(dk[None, :], kshift(t, 0.0), t)
-    BW[...] = jnp.where((wk == 0) & dk[None, :], egk[None, :], t)
+    ts = jnp.concatenate([egk[None, :], t[:-1]], axis=0)
+    BW[...] = jnp.where(dk[None, :], ts, t)
 
-    # ---- injections ----
+    # ---- injections, stacked (2W, L) ----
     eq1 = eq1_ref[0, ...]  # (W, L): x[i] == y[k]
     both = eq1 * e2[None, :]
     wfac = bpx[None, :] * BW[...]
     injk = base * f32(stack) * wfac * jnp.where(both > 0, 1.0, f32(subst))
     injg = base * both * jnp.where(wfac > 0, 1.0, 0.0)
-    tri = (wk <= off[None, :] + wl[None, :]).astype(f32)
-    injk = injk * tri
-    injg = injg * tri
+    inj = jnp.concatenate([injk, injg], axis=0)
+    tri = (wkm <= off[None, :] + wl[None, :]).astype(f32)
+    inj = inj * tri
 
-    # ---- K3/G3: reverse-cumsum over k as one MXU matmul each ----
-    iw = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
-    jw = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
-    U = (iw <= jw).astype(f32)
-    Ug = jnp.where(iw <= jw, jnp.exp((jw - iw).astype(f32) * f32(np.log(gap))), 0.0)
-    K3 = jnp.dot(U, injk, preferred_element_type=f32)
-    G3 = jnp.dot(Ug, injg, preferred_element_type=f32)
+    # ---- C1 (reverse cumsum over k): ONE block-diagonal MXU matmul ----
+    iw = jax.lax.broadcasted_iota(jnp.int32, (2 * W, 2 * W), 0)
+    jw = jax.lax.broadcasted_iota(jnp.int32, (2 * W, 2 * W), 1)
+    same_half = (iw < W) == (jw < W)
+    iwm = jnp.where(iw >= W, iw - W, iw)
+    jwm = jnp.where(jw >= W, jw - W, jw)
+    U2 = jnp.where(
+        same_half & (iwm <= jwm),
+        jnp.where(iw < W, 1.0, jnp.exp((jwm - iwm).astype(f32) * lng)),
+        0.0,
+    )
+    KG3 = jnp.dot(U2, inj, preferred_element_type=f32)
 
-    # ---- K2/G2: in-window cumsum over l (lane doubling scans) ----
-    def lane_scan(x, gg):
-        s = 1
-        while s < W:
-            sh = jnp.concatenate([jnp.zeros((W, s), f32), x[:, :-s]], axis=1)
-            x = x + f32(gg ** s) * jnp.where((wl >= s)[None, :], sh, 0.0)
-            s *= 2
-        return x
+    # ---- C2 (in-window cumsum over l): combined lane doubling scan ----
+    x = KG3
+    s = 1
+    while s < W:
+        sh = jnp.concatenate([jnp.zeros((2 * W, s), f32), x[:, :-s]], axis=1)
+        cs = jnp.where(wk2[:, :1] >= W, f32(gap ** s), f32(1.0))
+        x = x + cs * jnp.where((wl >= s)[None, :], sh, 0.0)
+        s *= 2
+    KG2 = x
 
-    K2 = lane_scan(K3, 1.0)
-    G2 = lane_scan(G3, gap)
-
-    K1n = K1b + K2
-    G1n = G1b * g + G2
-    K0n = K0b + K1n
-    G0n = G0b * g + G1n
+    KG1n = KG1b * cg + KG2
+    KG0n = KG0b * cg + KG1n
 
     # ---- boundary overrides on the absolute diagonal k == l ----
     d = (d_idx + 1).astype(f32)
     s_inv = jnp.exp(-logS[0, 0])
-    gd = jnp.exp(d * f32(np.log(gap)))
-    diag = (wk - wl[None, :]) == off[None, :]
-    ndiag = 1.0 - diag.astype(f32)
-    K0n = jnp.where(diag, s_inv, K0n * tri)
-    G0n = jnp.where(diag, gd * s_inv, G0n * tri)
-    K1n = K1n * tri * ndiag
-    G1n = G1n * tri * ndiag
+    gd = jnp.exp(d * lng)
+    diag = (wkm - wl[None, :]) == off[None, :]
+    seed = jnp.where(wk2[:, :1] < W, s_inv, gd * s_inv)  # (2W, 1)
+    KG0n = jnp.where(diag, seed, KG0n * tri)
+    KG1n = KG1n * (tri * (1.0 - diag.astype(f32)))
 
     # ---- emit log K(0, d, 0, a(d)) for this level ----
-    v = K0n[W // 2:W // 2 + 1, W // 2:W // 2 + 1]  # block 0, k=0, l=a(d)
+    v = KG0n[W // 2:W // 2 + 1, W // 2:W // 2 + 1]  # K half: block 0, k=0
     out_ref[...] = (
         jnp.where(v > 0, jnp.log(jnp.maximum(v, 1e-38)), -jnp.inf) + logS[0, 0]
     ).reshape(1, 1, 1, 1)
 
     # ---- commit state; rescale every RESCALE_EVERY levels ----
-    G0pp[...] = G0[...]
-    K0[...] = K0n
-    G0[...] = G0n
-    K1[...] = K1n
-    G1[...] = G1n
+    G0pp[...] = KG0[W:, :]
+    KG0[...] = KG0n
+    KG1[...] = KG1n
 
     @pl.when(d_idx % RESCALE_EVERY == RESCALE_EVERY - 1)
     def _rescale():
-        m = jnp.maximum(jnp.max(jnp.abs(K0[...])), 1e-30)
+        m = jnp.maximum(jnp.max(jnp.abs(KG0[:W, :])), 1e-30)
         inv = 1.0 / m
-        K0[...] = K0[...] * inv
-        G0[...] = G0[...] * inv
-        K1[...] = K1[...] * inv
-        G1[...] = G1[...] * inv
+        KG0[...] = KG0[...] * inv
+        KG1[...] = KG1[...] * inv
         G0pp[...] = G0pp[...] * inv
         logS[0, 0] = logS[0, 0] + jnp.log(m)
 
@@ -313,7 +323,9 @@ def _pallas_banded(x_codes, y_codes, lx, ly, bp_x, bp_y,
         ],
         out_specs=pl.BlockSpec((1, 1, 1, 1), lambda b, s: (b, s, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((bsz, n, 1, 1), f32),
-        scratch_shapes=[pltpu.VMEM((W, L), f32)] * 6 + [pltpu.SMEM((1, 1), f32)],
+        scratch_shapes=[pltpu.VMEM((2 * W, L), f32), pltpu.VMEM((2 * W, L), f32),
+                        pltpu.VMEM((W, L), f32), pltpu.VMEM((W, L), f32),
+                        pltpu.SMEM((1, 1), f32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(bpx_s, off_s, dj_s, e2_rows, egk_s, dk_row, wl_row, eq1_plane, bw0_plane)
