@@ -30,6 +30,14 @@ def _load():
             ctypes.POINTER(ctypes.c_long),
         ]
         lib.smo_solve.restype = ctypes.c_int
+        if hasattr(lib, "smo_solve_nu"):  # older cached builds lack it
+            lib.smo_solve_nu.argtypes = [
+                dptr, dptr, dptr, ctypes.c_int, ctypes.c_double,
+                ctypes.c_double, dptr, ctypes.c_double, ctypes.c_long, dptr,
+                ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
+            ]
+            lib.smo_solve_nu.restype = ctypes.c_int
         lib.dag_build.argtypes = [dptr, ctypes.c_int, ctypes.c_double]
         lib.dag_build.restype = ctypes.c_void_p
         lib.dag_sizes.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
@@ -60,6 +68,27 @@ def smo_solve_native(K, y, p, C_p, C_n, eps, max_iter):
     lib.smo_solve(K, y, p, n, C_p, C_n, eps, int(max_iter),
                   alpha, ctypes.byref(rho), ctypes.byref(obj), ctypes.byref(it))
     return alpha, rho.value, obj.value, it.value
+
+
+def smo_solve_nu_native(K, y, p, C_p, C_n, alpha0, eps, max_iter):
+    """Returns (alpha, rho, r, obj, n_iter) or None if the library is absent."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "smo_solve_nu"):
+        return None
+    n = len(y)
+    K = np.ascontiguousarray(K, dtype=np.float64)
+    y = np.ascontiguousarray(y, dtype=np.float64)
+    p = np.ascontiguousarray(p, dtype=np.float64)
+    a0 = np.ascontiguousarray(alpha0, dtype=np.float64)
+    alpha = np.zeros(n, dtype=np.float64)
+    rho = ctypes.c_double()
+    r = ctypes.c_double()
+    obj = ctypes.c_double()
+    it = ctypes.c_long()
+    lib.smo_solve_nu(K, y, p, n, C_p, C_n, a0, eps, int(max_iter),
+                     alpha, ctypes.byref(rho), ctypes.byref(r),
+                     ctypes.byref(obj), ctypes.byref(it))
+    return alpha, rho.value, r.value, obj.value, it.value
 
 
 def dag_scan_native(bpp, th):

@@ -118,3 +118,130 @@ extern "C" int smo_solve(
     *iter_out = it;
     return 0;
 }
+
+// nu-formulation SMO (the reference's Solver_NU, libsvm/solver.cpp:559-718):
+// two equality constraints, so working pairs must share a class — the
+// maximal-violating-pair / second-order criterion runs independently inside
+// y=+1 and y=-1 and takes the better of the two.  Native counterpart of
+// stem_kernel_tpu/svm/solver.py:smo_solve_nu.
+extern "C" int smo_solve_nu(
+    const double* K,
+    const double* y,
+    const double* p,
+    int n,
+    double C_p, double C_n,
+    const double* alpha0,   // feasible start (fixes both equality constants)
+    double eps,
+    long max_iter,
+    double* alpha_out,
+    double* rho_out,        // (r1 - r2)/2
+    double* r_out,          // (r1 + r2)/2
+    double* obj_out,
+    long* iter_out)
+{
+    std::vector<double> alpha(alpha0, alpha0 + n), G(n), C(n), Kd(n);
+    for (int i = 0; i < n; ++i) {
+        C[i] = y[i] > 0 ? C_p : C_n;
+        Kd[i] = K[(int64_t)i * n + i];
+    }
+    // G = y * (K @ (y*alpha)) + p
+    for (int t = 0; t < n; ++t) {
+        double acc = 0;
+        const double* Kt = K + (int64_t)t * n;
+        for (int u = 0; u < n; ++u) acc += Kt[u] * y[u] * alpha[u];
+        G[t] = y[t] * acc + p[t];
+    }
+
+    long it = 0;
+    while (it < max_iter) {
+        int ip = -1, in_ = -1;
+        double Gmaxp = -1e300, Gmaxn = -1e300, Gmaxp2 = -1e300, Gmaxn2 = -1e300;
+        for (int t = 0; t < n; ++t) {
+            if (y[t] > 0) {
+                if (alpha[t] < C[t] && -G[t] > Gmaxp) { Gmaxp = -G[t]; ip = t; }
+                if (alpha[t] > 0 && G[t] > Gmaxp2) Gmaxp2 = G[t];
+            } else {
+                if (alpha[t] > 0 && G[t] > Gmaxn) { Gmaxn = G[t]; in_ = t; }
+                if (alpha[t] < C[t] && -G[t] > Gmaxn2) Gmaxn2 = -G[t];
+            }
+        }
+        double viol = Gmaxp + Gmaxp2 > Gmaxn + Gmaxn2 ? Gmaxp + Gmaxp2
+                                                      : Gmaxn + Gmaxn2;
+        if (viol < eps) break;
+
+        int bi = -1, bj = -1;
+        double best = 1e300;
+        if (ip >= 0) {
+            const double* Ki = K + (int64_t)ip * n;
+            for (int t = 0; t < n; ++t) {
+                if (!(y[t] > 0 && alpha[t] > 0)) continue;
+                double b = Gmaxp + G[t];
+                if (b > 0) {
+                    double a = Kd[ip] + Kd[t] - 2.0 * Ki[t];
+                    if (a <= 0) a = TAU;
+                    double od = -(b * b) / a;
+                    if (od < best) { best = od; bi = ip; bj = t; }
+                }
+            }
+        }
+        if (in_ >= 0) {
+            const double* Ki = K + (int64_t)in_ * n;
+            for (int t = 0; t < n; ++t) {
+                if (!(y[t] < 0 && alpha[t] < C[t])) continue;
+                double b = Gmaxn - G[t];
+                if (b > 0) {
+                    double a = Kd[in_] + Kd[t] - 2.0 * Ki[t];
+                    if (a <= 0) a = TAU;
+                    double od = -(b * b) / a;
+                    if (od < best) { best = od; bi = in_; bj = t; }
+                }
+            }
+        }
+        if (bi < 0) break;
+        int i = bi, j = bj;
+        const double* Ki = K + (int64_t)i * n;
+        const double* Kj = K + (int64_t)j * n;
+
+        // same-class 2-variable update
+        double quad = Kd[i] + Kd[j] - 2.0 * Ki[j];
+        if (quad <= 0) quad = TAU;
+        double delta = (G[i] - G[j]) / quad;
+        double s = alpha[i] + alpha[j];
+        double ai = alpha[i] - delta, aj = alpha[j] + delta;
+        if (s > C[i]) { if (ai > C[i]) { ai = C[i]; aj = s - C[i]; } }
+        else { if (aj < 0) { aj = 0; ai = s; } }
+        if (s > C[j]) { if (aj > C[j]) { aj = C[j]; ai = s - C[j]; } }
+        else { if (ai < 0) { ai = 0; aj = s; } }
+
+        double d_i = ai - alpha[i], d_j = aj - alpha[j];
+        alpha[i] = ai; alpha[j] = aj;
+        double yi = y[i], yj = y[j];
+        for (int t = 0; t < n; ++t)
+            G[t] += yi * y[t] * Ki[t] * d_i + yj * y[t] * Kj[t] * d_j;
+        ++it;
+    }
+
+    // per-class r (calculate_rho, solver.cpp:676-718)
+    double r_cls[2];
+    for (int cls = 0; cls < 2; ++cls) {
+        double want = cls == 0 ? 1.0 : -1.0;
+        double sum_free = 0; int n_free = 0;
+        double ub = 1e300, lb = -1e300;
+        for (int t = 0; t < n; ++t) {
+            if ((y[t] > 0) != (want > 0)) continue;
+            if (alpha[t] > 0 && alpha[t] < C[t]) { sum_free += G[t]; ++n_free; }
+            else if (alpha[t] >= C[t]) { if (G[t] > lb) lb = G[t]; }
+            else { if (G[t] < ub) ub = G[t]; }
+        }
+        r_cls[cls] = n_free > 0 ? sum_free / n_free : (ub + lb) / 2.0;
+    }
+    *rho_out = (r_cls[0] - r_cls[1]) / 2.0;
+    *r_out = (r_cls[0] + r_cls[1]) / 2.0;
+
+    double obj = 0;
+    for (int t = 0; t < n; ++t) obj += alpha[t] * (G[t] + p[t]);
+    *obj_out = 0.5 * obj;
+    for (int t = 0; t < n; ++t) alpha_out[t] = alpha[t];
+    *iter_out = it;
+    return 0;
+}

@@ -189,13 +189,23 @@ def smo_solve_nu(
     C-SVC cost, for nu-SVR -r is the attained epsilon.
     """
     n = len(y)
+    if max_iter is None:
+        max_iter = max(10_000_000, 100 * n)
+    from ..native import smo_solve_nu_native
+
+    native = smo_solve_nu_native(K, y, p, C_p, C_n, alpha0, eps, max_iter)
+    if native is not None:
+        alpha_n, rho_n, r_n, obj_n, it_n = native
+        return (
+            SolverResult(alpha=alpha_n, rho=rho_n, obj=obj_n, n_iter=it_n,
+                         upper_bound_p=C_p, upper_bound_n=C_n),
+            r_n,
+        )
     y = np.asarray(y, dtype=np.float64)
     C = np.where(y > 0, C_p, C_n)
     alpha = np.asarray(alpha0, dtype=np.float64).copy()
     G = y * (K @ (y * alpha)) + np.asarray(p, dtype=np.float64)
     Kd = np.ascontiguousarray(np.diag(K)).astype(np.float64)
-    if max_iter is None:
-        max_iter = max(10_000_000, 100 * n)
     pos = y > 0
 
     it = 0

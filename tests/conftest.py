@@ -32,11 +32,12 @@ import shutil as _shutil
 
 
 def _ensure_native_lib() -> None:
-    import stem_kernel_tpu.native as _nat
-
-    if _nat.available() or _shutil.which("g++") is None:
+    if _shutil.which("g++") is None:
         return
     try:
+        # mtime-aware: a no-op when the .so is newer than every source, and
+        # a rebuild when sources changed (a stale .so would silently drop
+        # newer entry points to the Python fallback)
         from stem_kernel_tpu.native.build import build as _build
 
         _build(verbose=False)
