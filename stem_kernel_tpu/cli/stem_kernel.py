@@ -66,14 +66,17 @@ def main(argv=None) -> int:
             bp[i, : len(c), : len(c)] = w
         return {"codes": codes, "length": lens, "bp": bp}, None
 
-    # -b/--band-width without PHMM constraints routes to the banded
-    # windowed-memory engine (log-valued + scaled: no f32 overflow at any
-    # length; staircase anchors handle lx != ly — partial_dp's band branch,
-    # /root/reference/stem_kernel/stem_kernel.cpp:70-76,165-246).  On TPU
+    # -b/--band-width routes to the banded windowed-memory engine
+    # (log-valued + scaled: no f32 overflow at any length; staircase
+    # anchors handle lx != ly — partial_dp's band branch,
+    # /root/reference/stem_kernel/stem_kernel.cpp:70-76,165-246).  With
+    # -a > 0 too, the window anchors follow the pair-HMM alignment instead
+    # of the scaled diagonal (partial_dp's alignment_constraints mode,
+    # conformed to the staircase — models.full_stem.phmm_anchor).  On TPU
     # it runs the VMEM-resident Pallas kernel (ops.pallas_full_stem);
     # elsewhere the XLA scan.  The dense O(n^4)-state path remains for
-    # band=0 and for PHMM posterior windows.
-    use_banded = ns.band_width > 0 and ns.alignment_constraint <= 0.0
+    # band=0 (with or without posterior windows).
+    use_banded = ns.band_width > 0
 
     def make_fn(_aux):
         if use_banded:
@@ -89,6 +92,7 @@ def main(argv=None) -> int:
                         x["codes"], y["codes"], x["length"], y["length"],
                         x["bp"], y["bp"], ns.gap, ns.stack, ns.substitution,
                         band=ns.band_width,
+                        ali_bound=ns.alignment_constraint,
                     )
                 from ..models.full_stem import full_stem_kernel_banded_log
 
@@ -96,6 +100,7 @@ def main(argv=None) -> int:
                     x["codes"], y["codes"], x["length"], y["length"],
                     x["bp"], y["bp"], ns.gap, ns.stack, ns.substitution,
                     band=ns.band_width,
+                    ali_bound=ns.alignment_constraint,
                 )
 
             return kernel_fn

@@ -252,8 +252,49 @@ def _staircase_anchor(lx: jax.Array, ly: jax.Array, n: int):
     return a, delta_k
 
 
+def phmm_anchor(x_codes, lx, y_codes, ly, bound: float):
+    """PHMM-alignment window anchors conformed to a valid staircase.
+
+    The reference's partial_dp centers its per-position windows on the
+    pair-HMM MAP alignment when -a is given
+    (/root/reference/stem_kernel/stem_kernel.cpp:13-69); here the posterior
+    window midpoints (models.phmm.posterior_windows) are conformed to the
+    banded kernel's staircase requirements — monotone, deltas in {0, 1},
+    a(0) = 0, a(t >= lx) = ly (callers guarantee ly <= lx by swapping):
+    a forward pass clamps each step to the previous value +0/+1, a backward
+    max against ly - (lx - t) guarantees the endpoint is reached.  Steep
+    alignment segments (y-insertions) therefore get covered slightly later
+    than the MAP path places them, within the band's slack — the same class
+    of approximation partial_dp's own out-of-window reads make.
+    """
+    from .phmm import posterior_windows
+
+    win_lo, win_hi = posterior_windows(x_codes, lx, y_codes, ly, bound, 0)
+    n = x_codes.shape[1]
+    mid = jnp.clip((win_lo + win_hi) // 2, 0, ly[:, None])  # (B, n+1)
+
+    def step(prev, m_t):
+        a_t = jnp.minimum(prev + 1, jnp.maximum(m_t, prev))
+        return a_t, a_t
+
+    _, a_fw = jax.lax.scan(step, jnp.zeros(mid.shape[0], mid.dtype),
+                           mid.T[1:])
+    a = jnp.concatenate(
+        [jnp.zeros((mid.shape[0], 1), mid.dtype), a_fw.T], axis=1
+    )
+    t_idx = jnp.arange(n + 1)
+    floor = jnp.clip(ly[:, None] - (lx[:, None] - t_idx[None, :]), 0, None)
+    a = jnp.maximum(a, floor)
+    a = jnp.where(t_idx[None, :] >= lx[:, None], ly[:, None], a)
+    a = jnp.minimum(a, ly[:, None]).astype(jnp.int32)
+    delta_k = jnp.concatenate(
+        [a[:, 1:] - a[:, :-1], jnp.zeros_like(a[:, :1])], axis=1
+    )
+    return a, delta_k
+
+
 def _banded_precompute(x_codes, y_codes, lx, ly, bp_x, bp_y, band: int,
-                       with_eg: bool = True):
+                       with_eg: bool = True, anchor=None):
     """Device-side, once-per-batch ingredients for the banded scan.
 
     Everything the level scan needs is either carried state or one of these
@@ -263,7 +304,10 @@ def _banded_precompute(x_codes, y_codes, lx, ly, bp_x, bp_y, band: int,
     """
     bsz, n = x_codes.shape
     W = 2 * band + 1
-    a, delta_k = _staircase_anchor(lx, ly, n)
+    if anchor is None:
+        a, delta_k = _staircase_anchor(lx, ly, n)
+    else:
+        a, delta_k = anchor
     i_idx = jnp.arange(n + 1)
     w_idx = jnp.arange(W)
 
@@ -368,7 +412,7 @@ def full_stem_kernel_banded(*args, **kwargs) -> jax.Array:
     return jnp.exp(full_stem_kernel_banded_log(*args, **kwargs).astype(jnp.float64)).astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("band", "precision"))
+@partial(jax.jit, static_argnames=("band", "precision", "ali_bound"))
 def full_stem_kernel_banded_log(
     x_codes: jax.Array,  # (B, n)
     y_codes: jax.Array,  # (B, n) — same pad as x (swap support)
@@ -381,6 +425,7 @@ def full_stem_kernel_banded_log(
     subst: jax.Array,
     band: int = 16,
     precision: str = "highest",
+    ali_bound: float = 0.0,
 ) -> jax.Array:
     """Windowed-memory full stem kernel: O(B n W^2) live state, W = 2*band+1.
 
@@ -440,8 +485,13 @@ def full_stem_kernel_banded_log(
     )
     lx, ly = jnp.where(swap, ly, lx), jnp.where(swap, lx, ly)
 
+    anchor = None
+    if ali_bound > 0.0:
+        # MAP-alignment window anchors (partial_dp's -a mode,
+        # stem_kernel.cpp:13-69), conformed to the staircase algebra
+        anchor = phmm_anchor(x_codes, lx, y_codes, ly, ali_bound)
     (a, a_pad, dk_pad, eq1_win, E2pad, SXT, EG, BW0) = _banded_precompute(
-        x_codes, y_codes, lx, ly, bp_x, bp_y, band
+        x_codes, y_codes, lx, ly, bp_x, bp_y, band, anchor=anchor
     )
 
     i_idx = jnp.arange(n + 1)

@@ -193,11 +193,11 @@ def _kernel(gap: float, stack: float, subst: float, W: int, NB: int,
         logS[0, 0] = logS[0, 0] + jnp.log(m)
 
 
-@functools.partial(jax.jit, static_argnames=("band", "gap", "stack", "subst", "interpret"))
+@functools.partial(jax.jit, static_argnames=("band", "gap", "stack", "subst", "interpret", "ali_bound"))
 def _pallas_banded(x_codes, y_codes, lx, ly, bp_x, bp_y,
                    gap: float, stack: float, subst: float,
-                   band: int, interpret: bool):
-    from ..models.full_stem import _banded_precompute
+                   band: int, interpret: bool, ali_bound: float = 0.0):
+    from ..models.full_stem import _banded_precompute, phmm_anchor
 
     bsz, n = x_codes.shape
     W = 2 * band + 1
@@ -216,8 +216,12 @@ def _pallas_banded(x_codes, y_codes, lx, ly, bp_x, bp_y,
     )
     lx, ly = jnp.where(swap, ly, lx), jnp.where(swap, lx, ly)
 
+    anchor = None
+    if ali_bound > 0.0:
+        anchor = phmm_anchor(x_codes, lx, y_codes, ly, ali_bound)
     (a, a_pad, dk_pad, eq1_win, E2pad, SXT, _, BW0) = _banded_precompute(
-        x_codes, y_codes, lx, ly, bp_x, bp_y, band, with_eg=False
+        x_codes, y_codes, lx, ly, bp_x, bp_y, band, with_eg=False,
+        anchor=anchor
     )
     f32 = jnp.float32
     i_idx = jnp.arange(NB)
@@ -338,6 +342,7 @@ def full_stem_banded_pallas_log(
     x_codes, y_codes, lx, ly, bp_x, bp_y,
     gap: float, stack: float, subst: float,
     band: int = 16, interpret: bool | None = None,
+    ali_bound: float = 0.0,
 ):
     """log K of the banded full stem kernel, VMEM-resident Pallas path.
 
@@ -353,4 +358,5 @@ def full_stem_banded_pallas_log(
         jnp.asarray(lx, jnp.int32), jnp.asarray(ly, jnp.int32),
         jnp.asarray(bp_x, jnp.float32), jnp.asarray(bp_y, jnp.float32),
         float(gap), float(stack), float(subst), int(band), bool(interpret),
+        float(ali_bound),
     )

@@ -293,3 +293,57 @@ def test_pallas_banded_batched_mixed_lengths():
     got = np.asarray(full_stem_banded_pallas_log(
         xj, y, lj, ly, bj, by, 0.8, 1.0, 0.5, band=5))
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_phmm_anchor_staircase_properties():
+    """MAP-alignment anchors conform to the banded kernel's staircase:
+    monotone, deltas in {0,1}, a(0)=0, a(lx)=ly — for similar AND
+    offset-indel pairs."""
+    from stem_kernel_tpu.models.full_stem import phmm_anchor
+
+    a1 = "gggcgcaagcuugaaagcgccc"
+    b1 = "gggcgcaagcuugaaagcgccc"
+    a2 = "gggcgcaagcuugaaagcgccc"
+    b2 = "gggcgaagcuugaaagcccc"  # internal deletions
+    n = max(len(a1), len(b2)) + 1
+    x = np.zeros((2, n), np.uint8)
+    y = np.zeros((2, n), np.uint8)
+    for i, (sa, sb) in enumerate([(a1, b1), (a2, b2)]):
+        x[i, : len(sa)] = encode(sa)
+        y[i, : len(sb)] = encode(sb)
+    lx = jnp.asarray([len(a1), len(a2)])
+    ly = jnp.asarray([len(b1), len(b2)])
+    a, dk = phmm_anchor(jnp.asarray(x), lx, jnp.asarray(y), ly, 0.5)
+    a = np.asarray(a)
+    dk = np.asarray(dk)
+    assert (a[:, 0] == 0).all()
+    for i in range(2):
+        assert a[i, int(lx[i])] == int(ly[i])
+    d = a[:, 1:] - a[:, :-1]
+    assert ((d == 0) | (d == 1)).all()
+    # the similar pair's anchor is near the identity staircase
+    assert np.abs(a[0, : len(a1) + 1] - np.arange(len(a1) + 1)).max() <= 1
+
+
+def test_banded_phmm_anchor_close_to_diagonal_for_similar_pairs():
+    """For well-aligned equal-length pairs the MAP anchor coincides with the
+    scaled diagonal, so values agree; both engines agree on the anchored
+    variant."""
+    from stem_kernel_tpu.models.full_stem import full_stem_kernel_banded_log
+    from stem_kernel_tpu.ops.pallas_full_stem import full_stem_banded_pallas_log
+
+    args = _pack_pair("gggaaacccaugcaaggcauuca", "gggaaacccaugcaagguauuca")
+    plain = np.asarray(full_stem_kernel_banded_log(*args, band=5))
+    anch = np.asarray(full_stem_kernel_banded_log(*args, band=5, ali_bound=0.5))
+    np.testing.assert_allclose(anch, plain, atol=1e-4)
+    anch_p = np.asarray(full_stem_banded_pallas_log(
+        *args[:6], args[6], args[7], args[8], band=5, ali_bound=0.5))
+    np.testing.assert_allclose(anch_p, anch, atol=2e-5)
+
+    # indel-offset pair: the anchored kernel runs finite and differs from
+    # the scaled-diagonal anchor (windows follow the alignment)
+    args2 = _pack_pair("gggaaacccaugcaaggcauuca", "gggaaacccgcaaggcauu")
+    v_diag = float(np.asarray(full_stem_kernel_banded_log(*args2, band=3))[0])
+    v_anch = float(np.asarray(full_stem_kernel_banded_log(
+        *args2, band=3, ali_bound=0.3))[0])
+    assert np.isfinite(v_anch) and np.isfinite(v_diag)
