@@ -405,3 +405,23 @@ def test_coarse_shapes_matches_bucketed(tmp_path):
     lb, gb = read_precomputed(out_b)
     assert la == lb
     np.testing.assert_allclose(ga, gb, rtol=2e-4, atol=2e-6)
+
+
+def test_stem_kernel_banded_cli_mesh_matches_single_device(tmp_path):
+    """log-valued kernel + mesh sharding together (the banded stem_kernel
+    path): values must match single-device dispatch."""
+    seqs = ["gggcgcaagcuugaaagcgccc", "gggcgcaagucugaaagcgccc",
+            "ggacgcaagcuuga", "cggcgcaaguuugaaagcgccg"]
+    pos = write_family(tmp_path, "p.fa", seqs[:2])
+    neg = write_family(tmp_path, "n.fa", seqs[2:])
+    from stem_kernel_tpu.cli import stem_kernel as sk_cli
+
+    out_m = str(tmp_path / "m.dat")
+    out_s = str(tmp_path / "s.dat")
+    assert sk_cli.main(["-n", "-b", "6", out_m, "+1", pos, "-1", neg]) == 0
+    assert sk_cli.main(["-n", "-b", "6", "--single-device",
+                        out_s, "+1", pos, "-1", neg]) == 0
+    la, ga = read_precomputed(out_m)
+    lb, gb = read_precomputed(out_s)
+    assert la == lb
+    np.testing.assert_allclose(ga, gb, rtol=2e-4, atol=2e-6)
