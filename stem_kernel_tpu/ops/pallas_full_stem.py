@@ -94,6 +94,8 @@ def _kernel(gap: float, stack: float, subst: float, W: int, NB: int,
     def roll_i(x):  # value of block i+1, window-aligned: lanes left by W
         h = x.shape[0]
         return jnp.concatenate([x[:, W:], jnp.zeros((h, W), f32)], axis=1)
+    # NOTE: pltpu.roll-based shifts crash the remote Mosaic compile on this
+    # toolchain (HTTP 500 from tpu_compile_helper); concat forms stay.
 
     def kshift2(x, fk, fg):
         """Per-half sublane shift down: new[wk] = old[wk-1], entering row 0
@@ -150,13 +152,17 @@ def _kernel(gap: float, stack: float, subst: float, W: int, NB: int,
     )
     KG3 = jnp.dot(U2, inj, preferred_element_type=f32)
 
-    # ---- C2 (in-window cumsum over l): combined lane doubling scan ----
+    # ---- C2 (in-window cumsum over l): combined lane doubling scan.
+    # Block-boundary gating is a mask MULTIPLY (row-broadcast), not a
+    # select: pure arithmetic chains flow through vregs (~0.65 us/op
+    # measured) where selects materialize (~1.9 us) — see BASELINE.md ----
     x = KG3
     s = 1
     while s < W:
         sh = jnp.concatenate([jnp.zeros((2 * W, s), f32), x[:, :-s]], axis=1)
         cs = jnp.where(wk2[:, :1] >= W, f32(gap ** s), f32(1.0))
-        x = x + cs * jnp.where((wl >= s)[None, :], sh, 0.0)
+        mrow = (wl >= s).astype(f32)[None, :]
+        x = x + cs * (sh * mrow)
         s *= 2
     KG2 = x
 
@@ -167,10 +173,10 @@ def _kernel(gap: float, stack: float, subst: float, W: int, NB: int,
     d = (d_idx + 1).astype(f32)
     s_inv = jnp.exp(-logS[0, 0])
     gd = jnp.exp(d * lng)
-    diag = (wkm - wl[None, :]) == off[None, :]
+    diagf = ((wkm - wl[None, :]) == off[None, :]).astype(f32)
     seed = jnp.where(wk2[:, :1] < W, s_inv, gd * s_inv)  # (2W, 1)
-    KG0n = jnp.where(diag, seed, KG0n * tri)
-    KG1n = KG1n * (tri * (1.0 - diag.astype(f32)))
+    KG0n = KG0n * (tri * (1.0 - diagf)) + seed * diagf
+    KG1n = KG1n * (tri * (1.0 - diagf))
 
     # ---- emit log K(0, d, 0, a(d)) for this level ----
     v = KG0n[W // 2:W // 2 + 1, W // 2:W // 2 + 1]  # K half: block 0, k=0
