@@ -194,18 +194,12 @@ Featurizer = Callable[[list[Alignment]], tuple[Mapping[str, np.ndarray], object]
 def enable_compile_cache() -> None:
     """Persist XLA executables across CLI invocations.
 
-    Kernel CLIs are short-lived processes over long-compiling programs; the
-    on-disk cache turns every run after the first into a cache hit."""
-    import jax
+    Delegates to the package-level helper (stem_kernel_tpu.__init__ already
+    runs it at import; calling again is a no-op) so the cache location is
+    defined in exactly one place."""
+    from .. import _enable_compile_cache
 
-    import os
-
-    cache_dir = os.path.join(
-        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
-        "stem_kernel_tpu", "jax",
-    )
-    if jax.config.jax_compilation_cache_dir is None:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    _enable_compile_cache()
 
 
 def run_app(

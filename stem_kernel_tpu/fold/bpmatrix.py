@@ -141,8 +141,11 @@ def bpp_for_alignments(
 
 def alifold_covariance(
     aln: Alignment, *, cov_weight: float = 1.6, noncanon_penalty: float = 1.6
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(consensus_codes, w_extra, pt_major) for a covariance-scored fold.
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(consensus_codes, w_extra, pt_major, row_codes) for a covariance fold.
+
+    ``row_codes`` is the (R, L) per-row nucleotide matrix (gap/other = 4)
+    consumed by the true-alifold averaged LUTs.
 
     RNAalifold-style column-pair scoring (Hofacker 2002, the engine behind
     the reference's ALIFOLD method via alipf_fold,

@@ -33,6 +33,9 @@ class TileCheckpoint:
         done_path = path + ".done.npy"
         if os.path.exists(meta_path):
             meta = json.load(open(meta_path))
+            # pre-round-4 checkpoints lack n_pairs; their layout was always
+            # the upper triangle, so fill the implied value before comparing
+            meta.setdefault("n_pairs", meta.get("n", 0) * (meta.get("n", 0) + 1) // 2)
             if meta != {"n": n, "batch_size": batch_size,
                         "n_pairs": self.n_pairs}:
                 raise ValueError(

@@ -172,6 +172,21 @@ class PairKernelEngine:
         """
         feats_x = self.features if feats_x is None else feats_x
         feats_y = self.features if feats_y is None else feats_y
+        if checkpoint is not None and self.mesh is not None:
+            import jax as _jax
+
+            if any(d.process_index != _jax.process_index()
+                   for d in self.mesh.devices.flat):
+                # every rank must dispatch the same collective slab sequence;
+                # per-rank checkpoint skips would desynchronize the
+                # multi-controller program order (deadlock/corruption), and
+                # ranks would truncate each other's memmaps
+                raise ValueError(
+                    "Gram checkpointing is per-process; it cannot be combined "
+                    "with a mesh that spans multiple jax.distributed "
+                    "processes — run checkpointed Grams single-host (all "
+                    "local devices are fine) or drop --checkpoint"
+                )
         n_pairs = len(ix)
         if n_pairs >= 2**31:
             # dynamic_slice offsets are int32 on device; past 2^31 pairs the

@@ -229,6 +229,21 @@ def full_stem_kernel(
     return outs[lx, jnp.arange(bsz), ly]
 
 
+def _pad_pair_to_common(x_codes, y_codes, bp_x, bp_y):
+    """Pad both sides to one width: the banded window algebra indexes x and
+    y through one block/lane geometry, but predict-mode streams featurize
+    test chunks at their own pad shapes (cli/app.py)."""
+    nx, ny = x_codes.shape[1], y_codes.shape[1]
+    n = max(nx, ny)
+    if nx < n:
+        x_codes = jnp.pad(x_codes, ((0, 0), (0, n - nx)))
+        bp_x = jnp.pad(bp_x, ((0, 0), (0, n - nx), (0, n - nx)))
+    if ny < n:
+        y_codes = jnp.pad(y_codes, ((0, 0), (0, n - ny)))
+        bp_y = jnp.pad(bp_y, ((0, 0), (0, n - ny), (0, n - ny)))
+    return x_codes, y_codes, bp_x, bp_y
+
+
 def _staircase_anchor(lx: jax.Array, ly: jax.Array, n: int):
     """Monotone window anchors a[t] = floor(min(t, lx) * ly / lx + 0.5).
 
@@ -465,8 +480,9 @@ def full_stem_kernel_banded_log(
     float32 noise floor of the rescaled states underflow to zero, which
     matches their true relative weight.
     """
+    x_codes, y_codes, bp_x, bp_y = _pad_pair_to_common(
+        x_codes, y_codes, bp_x, bp_y)
     bsz, n = x_codes.shape
-    assert y_codes.shape[1] == n, "banded kernel requires equal x/y padding"
     dt = bp_x.dtype
     gap = jnp.asarray(gap, dt)
     stack = jnp.asarray(stack, dt)

@@ -203,8 +203,12 @@ def _kernel(gap: float, stack: float, subst: float, W: int, NB: int,
 def _pallas_banded(x_codes, y_codes, lx, ly, bp_x, bp_y,
                    gap: float, stack: float, subst: float,
                    band: int, interpret: bool, ali_bound: float = 0.0):
-    from ..models.full_stem import _banded_precompute, phmm_anchor
+    from ..models.full_stem import (
+        _banded_precompute, _pad_pair_to_common, phmm_anchor,
+    )
 
+    x_codes, y_codes, bp_x, bp_y = _pad_pair_to_common(
+        x_codes, y_codes, bp_x, bp_y)
     bsz, n = x_codes.shape
     W = 2 * band + 1
     NB = n + 1
@@ -275,33 +279,52 @@ def _pallas_banded(x_codes, y_codes, lx, ly, bp_x, bp_y,
     rows_e = jnp.take_along_axis(
         bp_y, jnp.clip(r_egk, 0, n - 1)[:, :, None], axis=1
     ) * r_ok[:, :, None]                                  # (B, NB, n): bp_y rows
-    # skew each row by its block anchor: SKE[b, i, c] = rows_e[b, i, a(i)+c-(band+1)]
-    # (a small ~1M-element gather; the big one is now contiguous slices)
-    C = n + 2 * W + 4
-    cidx = a[:, :, None] + jnp.arange(C)[None, None, :] - (band + 1)
-    SKE = jnp.where(
-        (cidx >= 0) & (cidx < n),
-        jnp.take_along_axis(rows_e, jnp.clip(cidx, 0, n - 1), axis=2),
-        0.0,
-    )                                                     # (B, NB, C)
-    # two-candidate structure holds only over VALID blocks (i + d <= lx);
-    # clamped tail blocks drive off to 0 but are masked downstream anyway
-    valid_blk = (i_idx[None, None, :] + d_lvl[None, :, None]
-                 <= lx[:, None, None])                    # (B, n, NB)
-    omin = jnp.where(valid_blk, off_all, jnp.int32(2 ** 30)).min(axis=2)
-    omin = jnp.minimum(omin, ly[:, None])                 # all-invalid guard
-    cand = jax.vmap(                                      # (B, n, NB, W+1)
-        jax.vmap(
-            lambda rp, c: jax.lax.dynamic_slice(
-                rp, (jnp.zeros((), c.dtype), c), (NB, W + 1)),
-            in_axes=(None, 0),
-        ),
-        in_axes=(0, 0),
-    )(SKE, jnp.clip(omin, 0, C - W - 1).astype(jnp.int32))
-    sel = (off_all - omin[:, :, None])[:, :, :, None]     # 0 or 1
-    egk_s = jnp.where(
-        sel == 0, cand[:, :, :, :W], cand[:, :, :, 1:W + 1]
-    ).reshape(bsz, n, 1, L).astype(f32)
+    w_idx = jnp.arange(W)
+    if ali_bound > 0.0:
+        # PHMM anchors: the per-level offset spread off(i,d) - min_i off(i,d)
+        # is UNBOUNDED (an indel detours the staircase), so the two-candidate
+        # slice trick below is invalid — use the exact per-element gather
+        # (slower precompute; the -a path pays it)
+        a_at = at_ipd(a_pad)                              # (B, n, NB): a[i+d]
+        c_egk = a_at[:, :, :, None] - 1 - band + w_idx[None, None, None, :]
+        c_ok = (c_egk >= 0) & (c_egk < ly[:, None, None, None])
+        flat = (jnp.clip(r_egk, 0, n - 1)[:, None, :, None] * n
+                + jnp.clip(c_egk, 0, n - 1))
+        egk_s = jnp.where(
+            c_ok & r_ok[:, None, :, None],
+            jnp.take_along_axis(
+                bp_y.reshape(bsz, -1), flat.reshape(bsz, -1), 1
+            ).reshape(bsz, n, NB, W),
+            0.0,
+        ).reshape(bsz, n, 1, L).astype(f32)
+    else:
+        # skew each row by its block anchor: SKE[b, i, c] = rows_e[b, i, a(i)+c-(band+1)]
+        # (a small ~1M-element gather; the big one is now contiguous slices)
+        C = n + 2 * W + 4
+        cidx = a[:, :, None] + jnp.arange(C)[None, None, :] - (band + 1)
+        SKE = jnp.where(
+            (cidx >= 0) & (cidx < n),
+            jnp.take_along_axis(rows_e, jnp.clip(cidx, 0, n - 1), axis=2),
+            0.0,
+        )                                                     # (B, NB, C)
+        # two-candidate structure holds only over VALID blocks (i + d <= lx);
+        # clamped tail blocks drive off to 0 but are masked downstream anyway
+        valid_blk = (i_idx[None, None, :] + d_lvl[None, :, None]
+                     <= lx[:, None, None])                    # (B, n, NB)
+        omin = jnp.where(valid_blk, off_all, jnp.int32(2 ** 30)).min(axis=2)
+        omin = jnp.minimum(omin, ly[:, None])                 # all-invalid guard
+        cand = jax.vmap(                                      # (B, n, NB, W+1)
+            jax.vmap(
+                lambda rp, c: jax.lax.dynamic_slice(
+                    rp, (jnp.zeros((), c.dtype), c), (NB, W + 1)),
+                in_axes=(None, 0),
+            ),
+            in_axes=(0, 0),
+        )(SKE, jnp.clip(omin, 0, C - W - 1).astype(jnp.int32))
+        sel = (off_all - omin[:, :, None])[:, :, :, None]     # 0 or 1
+        egk_s = jnp.where(
+            sel == 0, cand[:, :, :, :W], cand[:, :, :, 1:W + 1]
+        ).reshape(bsz, n, 1, L).astype(f32)
 
     # resident rows / planes
     dk_row = jnp.broadcast_to(

@@ -347,3 +347,48 @@ def test_banded_phmm_anchor_close_to_diagonal_for_similar_pairs():
     v_anch = float(np.asarray(full_stem_kernel_banded_log(
         *args2, band=3, ali_bound=0.3))[0])
     assert np.isfinite(v_anch) and np.isfinite(v_diag)
+
+
+def test_banded_pad_mismatch_sides():
+    """Predict-mode streams featurize test chunks at their OWN pad widths;
+    the banded kernel must pad internally instead of asserting (round-4
+    review finding)."""
+    from stem_kernel_tpu.models.full_stem import full_stem_kernel_banded_log
+    from stem_kernel_tpu.ops.pallas_full_stem import full_stem_banded_pallas_log
+
+    a, b = "gggaaacccaugcaaggcauuca", "gggaaaccc"
+    ca, cb = encode(a), encode(b)
+    # x padded wide, y padded narrow
+    nx, ny = len(a) + 5, len(b) + 2
+    x = np.zeros((1, nx), np.uint8); x[0, : len(ca)] = ca
+    y = np.zeros((1, ny), np.uint8); y[0, : len(cb)] = cb
+    bx = np.zeros((1, nx, nx), np.float32)
+    by = np.zeros((1, ny, ny), np.float32)
+    bx[0, : len(a), : len(a)] = pair_weights(ca, len(a))
+    by[0, : len(b), : len(b)] = pair_weights(cb, len(b))
+    args_mixed = (jnp.asarray(x), jnp.asarray(y),
+                  jnp.asarray([len(a)]), jnp.asarray([len(b)]),
+                  jnp.asarray(bx), jnp.asarray(by), 0.8, 1.0, 0.5)
+    ref = np.asarray(full_stem_kernel_banded_log(*_pack_pair(a, b), band=4))
+    got = np.asarray(full_stem_kernel_banded_log(*args_mixed, band=4))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+    got_p = np.asarray(full_stem_banded_pallas_log(
+        *args_mixed[:6], 0.8, 1.0, 0.5, band=4))
+    np.testing.assert_allclose(got_p, ref, atol=2e-5)
+
+
+def test_phmm_anchor_indel_pallas_matches_xla():
+    """With a real internal indel the anchor's per-level offset spread
+    exceeds 1; the Pallas stream precompute must use the exact gather
+    (round-4 review finding: the two-candidate slice trick silently
+    corrupted -b with -a runs; XLA 10.35 vs Pallas 5.23 before the fix)."""
+    from stem_kernel_tpu.models.full_stem import full_stem_kernel_banded_log
+    from stem_kernel_tpu.ops.pallas_full_stem import full_stem_banded_pallas_log
+
+    a = "gggcgcaagcuugaaagcgcccaugcuuaacgcaaagcguua"
+    b = "gggcgcaagcuugaaagcgcccuua"
+    args = _pack_pair(a, b)
+    ref = np.asarray(full_stem_kernel_banded_log(*args, band=4, ali_bound=0.3))
+    got = np.asarray(full_stem_banded_pallas_log(
+        *args[:6], args[6], args[7], args[8], band=4, ali_bound=0.3))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
