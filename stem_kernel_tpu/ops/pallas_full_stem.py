@@ -86,6 +86,8 @@ def _kernel(gap: float, stack: float, subst: float, W: int, NB: int,
 
     dj = dj_ref[0, 0, 0, :] > 0.5   # l-anchor advanced at this level (per block)
     dk = dk_ref[0, 0, :] > 0.5      # k-anchor advances i -> i+1 (d-independent)
+    djf = dj_ref[0, 0, 0, :][None, :]   # same masks as f32 rows: arithmetic
+    dkf = dk_ref[0, 0, :][None, :]      # blends fuse where selects materialize
     bpx = bpx_ref[0, 0, 0, :]
     off = off_ref[0, 0, 0, :].astype(jnp.int32)
     e2 = e2_ref[0, 0, 0, :]
@@ -113,21 +115,23 @@ def _kernel(gap: float, stack: float, subst: float, W: int, NB: int,
 
     # ---- state re-anchoring (staircase window algebra, full_stem.py) ----
     t = roll_i(KG1[...])
-    KG1b = jnp.where(dk[None, :], kshift2(t, 1.0, g), t)
+    KG1b = t + dkf * (kshift2(t, 1.0, g) - t)
     x0 = KG0[...]
     r = jnp.concatenate([x0[:, 1:], x0[:, -1:]], axis=1)  # l+1 read in-block
-    KG0b = jnp.where(
-        dj[None, :], jnp.where((wl == W - 1)[None, :], cg * x0, r), x0
-    )
+    edgef = (wl == W - 1).astype(f32)[None, :]
+    shifted0 = r + edgef * (cg * x0 - r)
+    KG0b = x0 + djf * (shifted0 - x0)
     t = roll_i(G0pp[...])
-    base = jnp.where(dk[None, :], t, kshift_up(t, 1.0))
-    base = jnp.where(dj[None, :], base, lshift_dn(base, 1.0))
+    tk = kshift_up(t, 1.0)
+    base = tk + dkf * (t - tk)  # dk=1 keeps the unshifted block
+    t2 = lshift_dn(base, 1.0)
+    base = t2 + djf * (base - t2)
 
     # ---- bp_y window: block shift absorbs the l-advance; conditional
     # k-shift with the entering low-k row streamed in ----
     t = roll_i(BW[...])
     ts = jnp.concatenate([egk[None, :], t[:-1]], axis=0)
-    BW[...] = jnp.where(dk[None, :], ts, t)
+    BW[...] = t + dkf * (ts - t)
 
     # ---- injections, stacked (2W, L) ----
     eq1 = eq1_ref[0, ...]  # (W, L): x[i] == y[k]
