@@ -137,8 +137,10 @@ def _kernel(gap: float, stack: float, subst: float, W: int, NB: int,
     eq1 = eq1_ref[0, ...]  # (W, L): x[i] == y[k]
     both = eq1 * e2[None, :]
     wfac = bpx[None, :] * BW[...]
-    injk = base * f32(stack) * wfac * jnp.where(both > 0, 1.0, f32(subst))
-    injg = base * both * jnp.where(wfac > 0, 1.0, 0.0)
+    # both is a {0,1} product, so the subst selector is affine in it; the
+    # wfac indicator is sign() (wfac >= 0 by construction)
+    injk = base * f32(stack) * wfac * (f32(subst) + both * f32(1.0 - subst))
+    injg = base * both * jnp.sign(wfac)
     inj = jnp.concatenate([injk, injg], axis=0)
     tri = (wkm <= off[None, :] + wl[None, :]).astype(f32)
     inj = inj * tri
