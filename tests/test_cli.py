@@ -425,3 +425,24 @@ def test_stem_kernel_banded_cli_mesh_matches_single_device(tmp_path):
     lb, gb = read_precomputed(out_s)
     assert la == lb
     np.testing.assert_allclose(ga, gb, rtol=2e-4, atol=2e-6)
+
+
+def test_stem_kernel_banded_predict_mixed_pad(tmp_path):
+    """Banded stem_kernel predict flow with test sequences whose pad width
+    differs from the training set's (round-4 review finding: this crashed
+    with 'banded kernel requires equal x/y padding')."""
+    from stem_kernel_tpu.cli import stem_kernel as sk_cli
+
+    train = ["gggcgcaagcuugaaagcgccc", "gggcgcaagucugaaagcgccc",
+             "ggacgcaagcuuga", "cggcgcaaguuugaaagcgccg"]
+    test = ["gggcgcaagcuugaaagcgcccaugcaaagg"]  # longer than any train seq
+    pos = write_family(tmp_path, "p.fa", train[:2])
+    neg = write_family(tmp_path, "n.fa", train[2:])
+    ts = write_family(tmp_path, "t.fa", test)
+    out = str(tmp_path / "rows.dat")
+    rc = sk_cli.main(["-n", "-b", "5", "--single-device", out,
+                      "+1", pos, "-1", neg, "--test", "+1", ts])
+    assert rc == 0
+    labels, rows = read_precomputed(out)
+    assert rows.shape == (1, 4)
+    assert np.isfinite(rows).all() and (np.abs(rows) <= 1.0 + 1e-5).all()
