@@ -392,3 +392,37 @@ def test_phmm_anchor_indel_pallas_matches_xla():
     got = np.asarray(full_stem_banded_pallas_log(
         *args[:6], args[6], args[7], args[8], band=4, ali_bound=0.3))
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_banded_fuzz_random_pairs():
+    """Property fuzz over random sequences, lengths and bands: the Pallas
+    engine must track the XLA scan engine everywhere, and both must track
+    the dense scaled-band kernel on lx >= ly pairs (where banded windows
+    are exact)."""
+    from stem_kernel_tpu.models.full_stem import (
+        full_stem_kernel, full_stem_kernel_banded_log,
+    )
+    from stem_kernel_tpu.ops.pallas_full_stem import full_stem_banded_pallas_log
+
+    frng = np.random.default_rng(123)
+    for trial in range(6):
+        band = int(frng.integers(2, 7))
+        la = int(frng.integers(8, 28))
+        lb = int(frng.integers(8, 28))
+        sa = "".join(frng.choice(list("acgu"), la))
+        sb = "".join(frng.choice(list("acgu"), lb))
+        args = _pack_pair(sa, sb)
+        ref = np.asarray(full_stem_kernel_banded_log(*args, band=band))
+        got = np.asarray(full_stem_banded_pallas_log(
+            *args[:6], args[6], args[7], args[8], band=band))
+        np.testing.assert_allclose(
+            got, ref, atol=5e-5,
+            err_msg=f"trial {trial}: {sa} vs {sb} band={band}")
+        if la >= lb:
+            dense = np.asarray(full_stem_kernel(*args, band=band))
+            # exact for equal lengths; clamp-fill boundary approximations
+            # (documented in full_stem_kernel_banded_log) for la > lb
+            rtol = 2e-4 if la == lb else 1e-2
+            np.testing.assert_allclose(
+                np.exp(ref.astype(np.float64)), dense, rtol=rtol,
+                err_msg=f"trial {trial} dense: {sa} vs {sb} band={band}")
