@@ -10,27 +10,37 @@ Design (TPU-first, see /opt/skills/guides/pallas_guide.md):
 - The score tensor is streamed in row-major ``(Lx, B, Ly)`` layout so each
   grid step DMAs one tile-aligned ``(BB, Ly)`` row slab from HBM into VMEM
   while the previous slab computes (Pallas double-buffers grid inputs).
-- The M/X/Y state rows persist in VMEM scratch across the inner row loop;
+- The M/A/G state rows persist in VMEM scratch across the inner row loop;
   nothing round-trips to HBM except the score reads and the final (B,)
-  values, so the kernel runs at the HBM-streaming bound for the input.
-- The within-row first-order gap recurrence
-      Y[j] = be * Y[j-1] + q[j]
-  has a constant coefficient, so its closure is the lower-triangular Toeplitz
-  matrix T[k, j] = be^(j-k) (j >= k) and the whole row solve is ONE matmul
-  ``q @ T`` on the MXU instead of a log-depth vector scan on the VPU.
-- Shift-by-one along the lane axis is a circular ``pltpu.roll`` plus a lane
-  mask (no unaligned VMEM slicing).
+  values.
 
-The recursion (0-based, states zero at virtual column -1 / row -1):
+**Closure reformulation (round 5).**  Eliminating X and Y from the 5-state
+recursion
 
     M[i,j] = e[i,j] * (1 + M[i-1,j-1] + X[i-1,j-1] + Y[i-1,j-1])
     X[i,j] = bg * M[i-1,j] + be * X[i-1,j]
     Y[i,j] = bg * (M[i,j-1] + X[i,j-1]) + be * Y[i,j-1]
-    K      = 1 + sum_{i,j} M[i,j]
 
-with e = exp(beta * s) masked to the true (lx, ly) rectangle, bg =
-exp(beta*gap), be = exp(beta*ext).  The telescoped ``1 + sum M`` form matches
-the reference's 1 + X2[n][m] + Y2[n][m] + M[n][m] return value.
+yields the M-only form with a RANK-1 SEPARABLE dependency weight
+
+    M[i,j] = e[i,j] * (1 + sum_{i'<i, j'<j} u(i-i') u(j-j') M[i',j'])
+    u(1) = 1,  u(d) = bg * be^(d-2)  for d >= 2
+
+(u(1) is the direct diagonal step; u(d>=2) opens one gap then extends).
+Defining the within-row closure A[i,:] = M[i,:] @ Tu with the Toeplitz
+matrix Tu[k,j] = u(j-k) (zero main diagonal — the column shift is absorbed
+into Tu), and the across-row geometric carry G[i] = be*G[i-1] + A[i-1],
+each row costs
+
+    m = e * (1 + a + bg*g);   a' = m @ Tu;   g' = be*g + a
+
+i.e. ONE MXU matmul plus ~4 elementwise VPU ops — and ZERO lane-shift /
+roll / select ops, which the round-4 Mosaic cost probes (BASELINE.md)
+measured at ~1-2 us each and which dominated the previous 2-shift
+formulation's 8-op dependent chain.
+
+The reference recursion's value telescopes to K = 1 + sum_{i,j} M[i,j]
+(matching 1 + X2[n][m] + Y2[n][m] + M[n][m]).
 """
 
 from __future__ import annotations
@@ -45,19 +55,33 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 SUBLANE = 8
 
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _shift1(v: jax.Array, lane_iota: jax.Array) -> jax.Array:
-    """out[:, j] = v[:, j-1], out[:, 0] = 0 (shift right along lanes)."""
-    rolled = pltpu.roll(v, shift=1, axis=1)
-    return jnp.where(lane_iota >= 1, rolled, 0.0)
+def _u_closure_matrix(log_bg: jax.Array, log_be: jax.Array, n: int) -> jax.Array:
+    """Tu[k, j] = u(j-k): 1 at j=k+1, bg*be^(j-k-2) at j>=k+2, else 0.
+
+    The strictly-upper-triangular (zero-diagonal) closure of the separable
+    dependency weight — one matmul by Tu applies both the column shift and
+    the full gap-open/extend geometric tail of the Y recurrence.
+    """
+    k = jnp.arange(n)[:, None]
+    j = jnp.arange(n)[None, :]
+    d = (j - k).astype(jnp.float32)
+    geo = jnp.exp(log_bg + log_be * jnp.maximum(d - 2.0, 0.0))
+    return jnp.where(d == 1, 1.0, jnp.where(d >= 2, geo, 0.0))
 
 
-def _la_exp_kernel(params_ref, *refs, k_rows: int):
-    """refs: score slab(s) + lx, ly, T, out, scratches.  With two score
+def _la_exp_kernel(params_ref, *refs, k_rows: int, precision):
+    """refs: score slab(s) + lx, ly, Tu, out, scratches.  With two score
     slabs the emission argument is the affine alpha*s0 + s1 fused in-VMEM
     (saves materializing the combined score tensor in HBM).
 
@@ -66,60 +90,50 @@ def _la_exp_kernel(params_ref, *refs, k_rows: int):
     scalar-core loop) dominated single-row steps ~10x over the actual
     VPU+MXU work, so amortizing it over k_rows is worth ~3x end to end.
     """
-    two = len(refs) == 9
+    two = len(refs) == 8
     if two:
-        s_ref, s2_ref, lx_ref, ly_ref, t_ref, out_ref, m_sc, x_sc, y_sc = refs
+        s_ref, s2_ref, lx_ref, ly_ref, tu_ref, out_ref, a_sc, g_sc = refs
     else:
-        s_ref, lx_ref, ly_ref, t_ref, out_ref, m_sc, x_sc, y_sc = refs
+        s_ref, lx_ref, ly_ref, tu_ref, out_ref, a_sc, g_sc = refs
     i = pl.program_id(1)
     beta = params_ref[0, 0]
     bg = params_ref[0, 1]
     be = params_ref[0, 2]
 
-    bb, ly = m_sc.shape
+    bb, ly = a_sc.shape
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (bb, ly), 1)
 
     @pl.when(i == 0)
     def _():
-        m_sc[:] = jnp.zeros_like(m_sc)
-        x_sc[:] = jnp.zeros_like(x_sc)
-        y_sc[:] = jnp.zeros_like(y_sc)
+        a_sc[:] = jnp.zeros_like(a_sc)
+        g_sc[:] = jnp.zeros_like(g_sc)
         out_ref[:] = jnp.ones_like(out_ref)  # the "+1" empty alignment
 
     colmask = lane_iota < ly_ref[:]          # (BB, Ly) via (BB, 1) broadcast
-    mp, xp, yp = m_sc[:], x_sc[:], y_sc[:]
+    a, g = a_sc[:], g_sc[:]
     acc = jnp.zeros_like(out_ref[:])
     for k in range(k_rows):
         rowmask = i * k_rows + k < lx_ref[:]     # (BB, 1)
         s_row = params_ref[0, 3] * s_ref[k] + s2_ref[k] if two else s_ref[k]
         e = jnp.where(colmask & rowmask, jnp.exp(beta * s_row), 0.0)
 
-        m = e * (1.0 + _shift1(mp + xp + yp, lane_iota))
-        x = bg * mp + be * xp
-        q = bg * _shift1(m + x, lane_iota)
-        # HIGHEST: full-f32 MXU passes — the closure sum spans up to Ly terms
-        # of wildly different magnitude, and bf16 passes cost ~0.5% kernel-
-        # value error
-        y = jnp.dot(q, t_ref[:], preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-        mp, xp, yp = m, x, y
+        m = e * (1.0 + a + bg * g)
+        # HIGH default: the closure sum spans up to Ly geometric terms; the
+        # 3-pass split keeps relative error ~1e-4 over 128 compounded rows
+        # (measured; --precision highest restores full-f32 6-pass validation)
+        a_new = jnp.dot(m, tu_ref[:], preferred_element_type=jnp.float32,
+                        precision=precision)
+        g = be * g + a
+        a = a_new
         acc += jnp.sum(m, axis=1, keepdims=True)
 
-    m_sc[:] = mp
-    x_sc[:] = xp
-    y_sc[:] = yp
+    a_sc[:] = a
+    g_sc[:] = g
     out_ref[:] += acc
 
 
-def _closure_matrix(log_be: jax.Array, ly: int) -> jax.Array:
-    """T[k, j] = be^(j-k) for j >= k else 0 — the Y-recurrence closure."""
-    k = jnp.arange(ly)[:, None]
-    j = jnp.arange(ly)[None, :]
-    d = (j - k).astype(jnp.float32)
-    return jnp.where(j >= k, jnp.exp(log_be * d), 0.0)
-
-
-@functools.partial(jax.jit, static_argnames=("block_b", "row_block", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block_b", "row_block", "interpret", "precision"))
 def la_exp_pallas(
     scores: jax.Array,
     lx: jax.Array,
@@ -133,6 +147,7 @@ def la_exp_pallas(
     block_b: int = 512,
     row_block: int = 8,
     interpret: bool = False,
+    precision: str = "highest",
 ) -> jax.Array:
     """Sum-over-alignments LA kernel values (B,) via the fused Pallas DP.
 
@@ -144,10 +159,10 @@ def la_exp_pallas(
     bsz, max_lx, max_ly = scores.shape
     dt = jnp.float32
     beta = jnp.asarray(beta, dt)
+    log_bg = beta * jnp.asarray(gap, dt)
     log_be = beta * jnp.asarray(ext, dt)
     params = jnp.stack(
-        [beta, jnp.exp(beta * jnp.asarray(gap, dt)), jnp.exp(log_be),
-         jnp.asarray(alpha, dt)]
+        [beta, jnp.exp(log_bg), jnp.exp(log_be), jnp.asarray(alpha, dt)]
     ).reshape(1, 4)
 
     bb = min(block_b, _round_up(bsz, SUBLANE))
@@ -166,13 +181,14 @@ def la_exp_pallas(
     slabs = [stream(scores)] + ([stream(scores2)] if scores2 is not None else [])
     lx_c = jnp.pad(jnp.asarray(lx, jnp.int32), (0, b_pad - bsz)).reshape(-1, 1)
     ly_c = jnp.pad(jnp.asarray(ly, jnp.int32), (0, b_pad - bsz)).reshape(-1, 1)
-    t_mat = _closure_matrix(log_be, ly_pad)
+    tu_mat = _u_closure_matrix(log_bg, log_be, ly_pad)
 
     slab_spec = pl.BlockSpec((kr, bb, ly_pad), lambda b, i: (i, b, 0),
                              memory_space=pltpu.VMEM)
     grid = (b_pad // bb, lx_pad // kr)
     out = pl.pallas_call(
-        functools.partial(_la_exp_kernel, k_rows=kr),
+        functools.partial(_la_exp_kernel, k_rows=kr,
+                          precision=_PRECISIONS[precision]),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 4), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
@@ -188,100 +204,80 @@ def la_exp_pallas(
         scratch_shapes=[
             pltpu.VMEM((bb, ly_pad), dt),
             pltpu.VMEM((bb, ly_pad), dt),
-            pltpu.VMEM((bb, ly_pad), dt),
         ],
         cost_estimate=pl.CostEstimate(
-            # ~12 VPU ops per cell + the (BB,Ly)@(Ly,Ly) closure matmul per row
-            flops=12 * b_pad * lx_pad * ly_pad
+            # ~6 VPU ops per cell + the (BB,Ly)@(Ly,Ly) closure matmul per row
+            flops=6 * b_pad * lx_pad * ly_pad
             + 2 * b_pad * lx_pad * ly_pad * ly_pad,
             bytes_accessed=4 * b_pad * lx_pad * ly_pad * (1 + len(slabs)),
             transcendentals=b_pad * lx_pad * ly_pad,
         ),
         interpret=interpret,
-    )(params, *slabs, lx_c, ly_c, t_mat)
+    )(params, *slabs, lx_c, ly_c, tu_mat)
     return out[:bsz, 0]
 
 
 NEG = -1e30
 
 
-def _shift1_log(v: jax.Array, lane_iota: jax.Array) -> jax.Array:
-    """Log-domain shift: out[:, j] = v[:, j-1], out[:, 0] = NEG (log 0)."""
-    rolled = pltpu.roll(v, shift=1, axis=1)
-    return jnp.where(lane_iota >= 1, rolled, NEG)
+def _la_log_kernel(params_ref, *refs, k_rows: int, precision):
+    """Log-space LA DP in the closure form; the Tu closure is a per-row-
+    rescaled matmul.
 
-
-def _la_log_kernel(params_ref, *refs, k_rows: int):
-    """True log-space LA DP; the Y gap closure is a per-row-rescaled matmul.
-
-    The M/X updates use elementwise logaddexp on the VPU (exact log space —
-    the "+1" fresh-start floor at every cell costs nothing here, unlike a
-    globally-scaled exp DP which cannot represent it once the scale exceeds
-    the f32 range).  The within-row Y recurrence
-        Y[j] = logaddexp(lbe + Y[j-1], q[j])
-    is closed as Y = c + log(exp(q - c) @ T) with c = rowmax(q) and
-    T[k, j] = exp(lbe (j-k)): one MXU matmul instead of a sequential scan.
-    The rescale drops Y terms > ~87 log units below the row max of q —
-    negligible since Y only carries decaying gap mass (be < 1) that re-enters
-    M alongside the exactly-kept M/X terms of the same columns.
+    States are log A and log G (elementwise logaddexp carries — exact log
+    space).  The within-row closure A = M @ Tu is evaluated as
+    A = exp(r) * (exp(m - r) @ Tu) with r = rowmax(m): one MXU matmul per
+    row.  The rescale drops M terms > ~87 log units below the row max —
+    negligible since they enter A alongside exactly-kept same-row terms.
     """
-    two = len(refs) == 9
+    two = len(refs) == 8
     if two:
-        s_ref, s2_ref, lx_ref, ly_ref, t_ref, acc_ref, m_sc, x_sc, y_sc = refs
+        s_ref, s2_ref, lx_ref, ly_ref, tu_ref, acc_ref, a_sc, g_sc = refs
     else:
-        s_ref, lx_ref, ly_ref, t_ref, acc_ref, m_sc, x_sc, y_sc = refs
+        s_ref, lx_ref, ly_ref, tu_ref, acc_ref, a_sc, g_sc = refs
     i = pl.program_id(1)
     beta = params_ref[0, 0]
     lbg = params_ref[0, 1]
     lbe = params_ref[0, 2]
 
-    bb, ly = m_sc.shape
+    bb, ly = a_sc.shape
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (bb, ly), 1)
 
     @pl.when(i == 0)
     def _():
-        m_sc[:] = jnp.full_like(m_sc, NEG)
-        x_sc[:] = jnp.full_like(x_sc, NEG)
-        y_sc[:] = jnp.full_like(y_sc, NEG)
+        a_sc[:] = jnp.full_like(a_sc, NEG)
+        g_sc[:] = jnp.full_like(g_sc, NEG)
         acc_ref[:] = jnp.full_like(acc_ref, NEG)
 
     colmask = lane_iota < ly_ref[:]
-    lm, lx_, ly_ = m_sc[:], x_sc[:], y_sc[:]
+    la, lg = a_sc[:], g_sc[:]
     acc = jnp.full_like(acc_ref[:], NEG)
     for k in range(k_rows):
         rowmask = i * k_rows + k < lx_ref[:]
         s_row = params_ref[0, 3] * s_ref[k] + s2_ref[k] if two else s_ref[k]
         le = jnp.where(colmask & rowmask, beta * s_row, NEG)
 
-        # lse3 of the previous states (elementwise, 3 exps + 1 log)
-        c3 = jnp.maximum(lm, jnp.maximum(lx_, ly_))
-        lse3 = c3 + jnp.log(
-            jnp.exp(lm - c3) + jnp.exp(lx_ - c3) + jnp.exp(ly_ - c3)
-        )
-        m = le + jnp.logaddexp(0.0, _shift1_log(lse3, lane_iota))
-        x = jnp.logaddexp(lbg + lm, lbe + lx_)
-        # one shared row scale: em/ex serve the Y closure AND the row-lse of M
-        r = jnp.max(jnp.maximum(m, x), axis=1, keepdims=True)
+        s = jnp.logaddexp(la, lbg + lg)
+        m = le + jnp.logaddexp(0.0, s)
+        r = jnp.max(m, axis=1, keepdims=True)
         em = jnp.exp(m - r)
-        ex = jnp.exp(x - r)
-        ey = jnp.dot(_shift1(em + ex, lane_iota), t_ref[:],
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
-        y = (r + lbg) + jnp.log(jnp.maximum(ey, 1e-38))
-
-        lm, lx_, ly_ = m, x, y
-        rowlse = r[:, 0:1] + jnp.log(
-            jnp.maximum(jnp.sum(em, axis=1, keepdims=True), 1e-38)
+        av = jnp.dot(em, tu_ref[:], preferred_element_type=jnp.float32,
+                     precision=precision)
+        lg = jnp.logaddexp(lbe + lg, la)
+        la = r + jnp.log(jnp.maximum(av, 1e-38))
+        acc = jnp.logaddexp(
+            acc,
+            r[:, 0:1]
+            + jnp.log(jnp.maximum(jnp.sum(em, axis=1, keepdims=True), 1e-38)),
         )
-        acc = jnp.logaddexp(acc, rowlse)
 
-    m_sc[:] = lm
-    x_sc[:] = lx_
-    y_sc[:] = ly_
+    a_sc[:] = la
+    g_sc[:] = lg
     acc_ref[:] = jnp.logaddexp(acc_ref[:], acc)
 
 
-@functools.partial(jax.jit, static_argnames=("block_b", "row_block", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block_b", "row_block", "interpret", "precision"))
 def la_log_pallas(
     scores: jax.Array,
     lx: jax.Array,
@@ -295,19 +291,21 @@ def la_log_pallas(
     block_b: int = 512,
     row_block: int = 8,
     interpret: bool = False,
+    precision: str = "highest",
 ) -> jax.Array:
     """log K of the sum-over-alignments LA kernel, overflow-safe for any L.
 
     Equivalent to ``local_alignment_log`` (stem_kernel_tpu/models/bpla.py) but
-    runs the scaled exp-domain DP on the MXU instead of logaddexp per cell.
-    ``row_block``: x-rows per grid step (amortizes per-step fixed costs).
+    runs the rescaled exp-domain closure on the MXU instead of logaddexp per
+    cell.  ``row_block``: x-rows per grid step (amortizes per-step costs).
     """
     bsz, max_lx, max_ly = scores.shape
     dt = jnp.float32
     beta = jnp.asarray(beta, dt)
+    log_bg = beta * jnp.asarray(gap, dt)
     log_be = beta * jnp.asarray(ext, dt)
     params = jnp.stack(
-        [beta, beta * jnp.asarray(gap, dt), log_be, jnp.asarray(alpha, dt)]
+        [beta, log_bg, log_be, jnp.asarray(alpha, dt)]
     ).reshape(1, 4)
 
     bb = min(block_b, _round_up(bsz, SUBLANE))
@@ -326,13 +324,14 @@ def la_log_pallas(
     slabs = [stream(scores)] + ([stream(scores2)] if scores2 is not None else [])
     lx_c = jnp.pad(jnp.asarray(lx, jnp.int32), (0, b_pad - bsz)).reshape(-1, 1)
     ly_c = jnp.pad(jnp.asarray(ly, jnp.int32), (0, b_pad - bsz)).reshape(-1, 1)
-    t_mat = _closure_matrix(log_be, ly_pad)
+    tu_mat = _u_closure_matrix(log_bg, log_be, ly_pad)
 
     slab_spec = pl.BlockSpec((kr, bb, ly_pad), lambda b, i: (i, b, 0),
                              memory_space=pltpu.VMEM)
     grid = (b_pad // bb, lx_pad // kr)
     acc = pl.pallas_call(
-        functools.partial(_la_log_kernel, k_rows=kr),
+        functools.partial(_la_log_kernel, k_rows=kr,
+                          precision=_PRECISIONS[precision]),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 4), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
@@ -348,16 +347,15 @@ def la_log_pallas(
         scratch_shapes=[
             pltpu.VMEM((bb, ly_pad), dt),
             pltpu.VMEM((bb, ly_pad), dt),
-            pltpu.VMEM((bb, ly_pad), dt),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=24 * b_pad * lx_pad * ly_pad
+            flops=12 * b_pad * lx_pad * ly_pad
             + 2 * b_pad * lx_pad * ly_pad * ly_pad,
             bytes_accessed=4 * b_pad * lx_pad * ly_pad * (1 + len(slabs)),
-            transcendentals=10 * b_pad * lx_pad * ly_pad,
+            transcendentals=6 * b_pad * lx_pad * ly_pad,
         ),
         interpret=interpret,
-    )(params, *slabs, lx_c, ly_c, t_mat)
+    )(params, *slabs, lx_c, ly_c, tu_mat)
     return jnp.logaddexp(0.0, acc[:bsz, 0])
 
 
@@ -438,96 +436,79 @@ def _emit_row(fx, planes, base):
     return s
 
 
-def _la_exp_fac_kernel(params_ref, fx_ref, fy_ref, t_ref,
-                       out_ref, m_sc, x_sc, y_sc, ms_sc):
+def _la_exp_fac_kernel(params_ref, fx_ref, fy_ref, tu_ref,
+                       out_ref, a_sc, g_sc, ms_sc, *, precision):
     i = pl.program_id(1)
     bg = params_ref[0, 1]
     be = params_ref[0, 2]
 
-    bb, ly = m_sc.shape
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (bb, ly), 1)
-
     @pl.when(i == 0)
     def _():
-        m_sc[:] = jnp.zeros_like(m_sc)
-        x_sc[:] = jnp.zeros_like(x_sc)
-        y_sc[:] = jnp.zeros_like(y_sc)
+        a_sc[:] = jnp.zeros_like(a_sc)
+        g_sc[:] = jnp.zeros_like(g_sc)
         ms_sc[:] = jnp.zeros_like(ms_sc)
 
     fx = fx_ref[0]
     planes = [fy_ref[k] for k in range(K8)]
-    mp, xp, yp = m_sc[:], x_sc[:], y_sc[:]
+    a, g = a_sc[:], g_sc[:]
     msum = ms_sc[:]
     for r in range(RG):
         e = jnp.exp(_emit_row(fx, planes, r * K8))  # masked cells: exp(-1e7)=0
-        m = e * (1.0 + _shift1(mp + xp + yp, lane_iota))
-        x = bg * mp + be * xp
-        q = bg * _shift1(m + x, lane_iota)
-        y = jnp.dot(q, t_ref[:], preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-        mp, xp, yp = m, x, y
+        m = e * (1.0 + a + bg * g)
+        a_new = jnp.dot(m, tu_ref[:], preferred_element_type=jnp.float32,
+                        precision=precision)
+        g = be * g + a
+        a = a_new
         msum = msum + m  # the row-sum reduction is deferred to the last step
 
-    m_sc[:] = mp
-    x_sc[:] = xp
-    y_sc[:] = yp
+    a_sc[:] = a
+    g_sc[:] = g
     ms_sc[:] = msum
     # unconditional write, last grid step wins (a @pl.when-guarded output
     # write hangs the Mosaic compile); still one reduction per RG rows
     out_ref[:] = 1.0 + jnp.sum(msum, axis=1, keepdims=True)
 
 
-def _la_log_fac_kernel(params_ref, fx_ref, fy_ref, t_ref,
-                       acc_ref, m_sc, x_sc, y_sc):
+def _la_log_fac_kernel(params_ref, fx_ref, fy_ref, tu_ref,
+                       acc_ref, a_sc, g_sc, *, precision):
     i = pl.program_id(1)
     lbg = params_ref[0, 1]
     lbe = params_ref[0, 2]
 
-    bb, ly = m_sc.shape
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (bb, ly), 1)
-
     @pl.when(i == 0)
     def _():
-        m_sc[:] = jnp.full_like(m_sc, NEG)
-        x_sc[:] = jnp.full_like(x_sc, NEG)
-        y_sc[:] = jnp.full_like(y_sc, NEG)
+        a_sc[:] = jnp.full_like(a_sc, NEG)
+        g_sc[:] = jnp.full_like(g_sc, NEG)
         acc_ref[:] = jnp.full_like(acc_ref, NEG)
 
     fx = fx_ref[0]
     planes = [fy_ref[k] for k in range(K8)]
-    lm, lx_, ly_ = m_sc[:], x_sc[:], y_sc[:]
+    la, lg = a_sc[:], g_sc[:]
     acc = jnp.full_like(acc_ref[:], NEG)
-    for r in range(RG):
-        le = _emit_row(fx, planes, r * K8)  # masked cells: -1e7 ~ log 0
+    for r_ in range(RG):
+        le = _emit_row(fx, planes, r_ * K8)  # masked cells: -1e7 ~ log 0
 
-        c3 = jnp.maximum(lm, jnp.maximum(lx_, ly_))
-        lse3 = c3 + jnp.log(
-            jnp.exp(lm - c3) + jnp.exp(lx_ - c3) + jnp.exp(ly_ - c3)
+        s = jnp.logaddexp(la, lbg + lg)
+        m = le + jnp.logaddexp(0.0, s)
+        r = jnp.max(m, axis=1, keepdims=True)
+        em = jnp.exp(m - r)
+        av = jnp.dot(em, tu_ref[:], preferred_element_type=jnp.float32,
+                     precision=precision)
+        lg = jnp.logaddexp(lbe + lg, la)
+        la = r + jnp.log(jnp.maximum(av, 1e-38))
+        acc = jnp.logaddexp(
+            acc,
+            r[:, 0:1]
+            + jnp.log(jnp.maximum(jnp.sum(em, axis=1, keepdims=True), 1e-38)),
         )
-        m = le + jnp.logaddexp(0.0, _shift1_log(lse3, lane_iota))
-        x = jnp.logaddexp(lbg + lm, lbe + lx_)
-        r_ = jnp.max(jnp.maximum(m, x), axis=1, keepdims=True)
-        em = jnp.exp(m - r_)
-        ex = jnp.exp(x - r_)
-        ey = jnp.dot(_shift1(em + ex, lane_iota), t_ref[:],
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
-        y = (r_ + lbg) + jnp.log(jnp.maximum(ey, 1e-38))
 
-        lm, lx_, ly_ = m, x, y
-        rowlse = r_[:, 0:1] + jnp.log(
-            jnp.maximum(jnp.sum(em, axis=1, keepdims=True), 1e-38)
-        )
-        acc = jnp.logaddexp(acc, rowlse)
-
-    m_sc[:] = lm
-    x_sc[:] = lx_
-    y_sc[:] = ly_
+    a_sc[:] = la
+    g_sc[:] = lg
     acc_ref[:] = jnp.logaddexp(acc_ref[:], acc)
 
 
-def _factored_call(kernel, fx, fy, lx, ly, alpha, beta, params, log_be,
-                   block_b, interpret, *, extra_scratch: int = 0):
+def _factored_call(kernel, fx, fy, lx, ly, alpha, beta, params, log_bg,
+                   log_be, block_b, interpret, precision, *, n_scratch: int):
     bsz, max_lx, k = fx.shape
     if k > K8 - 2:
         raise ValueError(
@@ -544,11 +525,11 @@ def _factored_call(kernel, fx, fy, lx, ly, alpha, beta, params, log_be,
 
     fx_p = _prescale_x(fx, lx, alpha, beta, b_pad, lx_pad)
     fy_p = _prescale_y(fy, ly, b_pad, ly_pad)
-    t_mat = _closure_matrix(log_be, ly_pad)
+    tu_mat = _u_closure_matrix(log_bg, log_be, ly_pad)
 
     grid = (b_pad // bb, lx_pad // RG)
     out = pl.pallas_call(
-        kernel,
+        functools.partial(kernel, precision=_PRECISIONS[precision]),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 4), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
@@ -564,20 +545,21 @@ def _factored_call(kernel, fx, fy, lx, ly, alpha, beta, params, log_be,
         out_shape=jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((bb, ly_pad), jnp.float32)
-            for _ in range(3 + extra_scratch)
+            for _ in range(n_scratch)
         ],
         cost_estimate=pl.CostEstimate(
-            flops=28 * b_pad * lx_pad * ly_pad
+            flops=22 * b_pad * lx_pad * ly_pad
             + 2 * b_pad * lx_pad * ly_pad * ly_pad,
             bytes_accessed=4 * b_pad * (lx_pad + ly_pad) * K8,
             transcendentals=b_pad * lx_pad * ly_pad,
         ),
         interpret=interpret,
-    )(params, fx_p, fy_p, t_mat)
+    )(params, fx_p, fy_p, tu_mat)
     return out[:bsz, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block_b", "interpret", "precision"))
 def la_exp_factored(
     fx: jax.Array,
     fy: jax.Array,
@@ -588,8 +570,9 @@ def la_exp_factored(
     gap,
     ext,
     *,
-    block_b: int = 256,
+    block_b: int = 512,
     interpret: bool = False,
+    precision: str = "highest",
 ) -> jax.Array:
     """Sum-over-alignments LA kernel on factored scores.
 
@@ -606,16 +589,18 @@ def la_exp_factored(
     """
     dt = jnp.float32
     beta = jnp.asarray(beta, dt)
+    log_bg = beta * jnp.asarray(gap, dt)
     log_be = beta * jnp.asarray(ext, dt)
     params = jnp.stack(
-        [beta, jnp.exp(beta * jnp.asarray(gap, dt)), jnp.exp(log_be),
-         jnp.asarray(alpha, dt)]
+        [beta, jnp.exp(log_bg), jnp.exp(log_be), jnp.asarray(alpha, dt)]
     ).reshape(1, 4)
     return _factored_call(_la_exp_fac_kernel, fx, fy, lx, ly, alpha, beta,
-                          params, log_be, block_b, interpret, extra_scratch=1)
+                          params, log_bg, log_be, block_b, interpret,
+                          precision, n_scratch=3)
 
 
-@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block_b", "interpret", "precision"))
 def la_log_factored(
     fx: jax.Array,
     fy: jax.Array,
@@ -626,18 +611,21 @@ def la_log_factored(
     gap,
     ext,
     *,
-    block_b: int = 256,
+    block_b: int = 512,
     interpret: bool = False,
+    precision: str = "highest",
 ) -> jax.Array:
     """log K of the LA kernel on factored scores (overflow-safe)."""
     dt = jnp.float32
     beta = jnp.asarray(beta, dt)
+    log_bg = beta * jnp.asarray(gap, dt)
     log_be = beta * jnp.asarray(ext, dt)
     params = jnp.stack(
-        [beta, beta * jnp.asarray(gap, dt), log_be, jnp.asarray(alpha, dt)]
+        [beta, log_bg, log_be, jnp.asarray(alpha, dt)]
     ).reshape(1, 4)
     acc = _factored_call(_la_log_fac_kernel, fx, fy, lx, ly, alpha, beta,
-                         params, log_be, block_b, interpret)
+                         params, log_bg, log_be, block_b, interpret,
+                         precision, n_scratch=2)
     return jnp.logaddexp(0.0, acc)
 
 
