@@ -324,7 +324,11 @@ def _run_app_inner(opts, featurize, make_kernel_fn, *, batch_size, mesh,
         feats_c, aux_c = featurize(chunk_alns)
         if merge_aux is not None:
             eng.kernel_fn = make_kernel_fn(merge_aux(aux_tr, aux_c))
-        rows, self_vals = eng.rows(feats_c, sv_index=sv_index)
+        # self values are consumed only by normalization and the norm file;
+        # the unnormalized no-norm predict flow skips that dispatch entirely
+        need_self = bool(opts.normalize) or bool(opts.norm_output)
+        rows, self_vals = eng.rows(feats_c, sv_index=sv_index,
+                                   with_self=need_self)
 
         if log_kernel:
             cols = (np.arange(rows.shape[1]) if sv_index is None

@@ -69,7 +69,12 @@ def bucketed_gram(
                 blk = os.path.join(checkpoint_path, f"block_{p}_{q}")
                 n_pairs = (len(idx_p) * (len(idx_p) + 1) // 2 if p == q
                            else len(idx_p) * len(idx_q))
-                ckpt = eng.checkpoint_for(blk, n_pairs=n_pairs, n=len(idx_p))
+                # the y-side features join the fingerprint so a resume
+                # against a different corpus with same-sized buckets is
+                # rejected rather than silently returning stale values
+                ckpt = eng.checkpoint_for(
+                    blk, n_pairs=n_pairs, n=len(idx_p),
+                    extra_features=None if p == q else feats_q)
             if p == q:
                 iu = np.triu_indices(len(idx_p))
                 ix, iy = iu[0].astype(np.int32), iu[1].astype(np.int32)
@@ -92,7 +97,9 @@ def bucketed_gram(
         if normalize:
             d = np.diag(g)
             return np.exp(g - 0.5 * (d[:, None] + d[None, :])).astype(np.float32)
-        return np.exp(g.astype(np.float64)).astype(np.float32)
+        from .engine import _exp_to_f32_checked
+
+        return _exp_to_f32_checked(g)
     if normalize:
         g = normalize_gram(g)
     return g

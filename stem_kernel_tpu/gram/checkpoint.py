@@ -12,17 +12,44 @@ skips finished batches.  Files:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 
 import numpy as np
 
 
+def features_fingerprint(features, extra=None) -> str:
+    """Cheap content fingerprint of a feature-array mapping.
+
+    Hashes every array's key, shape, dtype, and a 4096-element strided
+    value sample — enough to distinguish different corpora that produce
+    identically-shaped buckets, at negligible cost for GB-scale features.
+    """
+    h = hashlib.sha1()
+    for mapping in (features, extra):
+        if mapping is None:
+            continue
+        for key in sorted(mapping):
+            arr = np.asarray(mapping[key])
+            h.update(key.encode())
+            h.update(str(arr.shape).encode())
+            h.update(str(arr.dtype).encode())
+            flat = arr.ravel()
+            if flat.size:
+                h.update(np.ascontiguousarray(
+                    flat[:: max(1, flat.size // 4096)]).tobytes())
+    return h.hexdigest()
+
+
 class TileCheckpoint:
     def __init__(self, path: str, n: int, batch_size: int,
-                 n_pairs: int | None = None):
+                 n_pairs: int | None = None, fingerprint: str | None = None):
         """``n_pairs`` defaults to the upper triangle n(n+1)/2; rectangular
-        blocks (bucketed Gram cross-blocks, test rows) pass it explicitly."""
+        blocks (bucketed Gram cross-blocks, test rows) pass it explicitly.
+        ``fingerprint`` (features_fingerprint of the corpus) is stored in the
+        meta and checked on resume, so a checkpoint written for one corpus is
+        rejected for another even when every block size matches."""
         self.path = path
         self.n = n
         self.batch_size = batch_size
@@ -36,11 +63,18 @@ class TileCheckpoint:
             # pre-round-4 checkpoints lack n_pairs; their layout was always
             # the upper triangle, so fill the implied value before comparing
             meta.setdefault("n_pairs", meta.get("n", 0) * (meta.get("n", 0) + 1) // 2)
+            # pre-round-5 checkpoints lack the content fingerprint; accept
+            # them (legacy leniency) but never accept a MISMATCHED one.
+            # A None fingerprint (direct inspection/tests) accepts any.
+            meta.setdefault("fingerprint", fingerprint)
+            if fingerprint is None:
+                fingerprint = meta["fingerprint"]
             if meta != {"n": n, "batch_size": batch_size,
-                        "n_pairs": self.n_pairs}:
+                        "n_pairs": self.n_pairs, "fingerprint": fingerprint}:
                 raise ValueError(
                     f"checkpoint {path} was written for {meta}, "
-                    f"not n={n} batch_size={batch_size}"
+                    f"not n={n} batch_size={batch_size} "
+                    f"fingerprint={fingerprint}"
                 )
             self.values = np.lib.format.open_memmap(values_path, mode="r+")
             self.done = np.lib.format.open_memmap(done_path, mode="r+")
@@ -52,7 +86,8 @@ class TileCheckpoint:
                 done_path, mode="w+", dtype=np.bool_, shape=(self.n_batches,)
             )
             json.dump({"n": n, "batch_size": batch_size,
-                       "n_pairs": self.n_pairs}, open(meta_path, "w"))
+                       "n_pairs": self.n_pairs, "fingerprint": fingerprint},
+                      open(meta_path, "w"))
 
     def is_done(self, batch_idx: int) -> bool:
         return bool(self.done[batch_idx])

@@ -101,3 +101,36 @@ def bpla_features(
         "p_unpair": pu,
         "length": lens,
     }
+
+
+def loop_profile_weights(alignments, bp_opts=None):
+    """Per-position unpaired-loop-profile weights for the string kernel.
+
+    The ``--use-bp`` mode of the lite la_kernel
+    (/root/reference/stem_kernel_lite/la-main.cpp:104-117): every alignment
+    row is folded, and each column's weight is the row-averaged unpaired
+    probability (Profiler::non_bp_profile,
+    /root/reference/stem_kernel_lite/data.cpp:94-123).  Returns a list of
+    (L_i,) float arrays aligned with ``alignments``.
+    """
+    from ..fold.bpmatrix import fold_sequences
+    from .dag import _Profiler
+
+    flat_rows: list[str] = []
+    spans: list[tuple[int, int]] = []
+    for a in alignments:
+        rows = a.ungapped_rows()
+        spans.append((len(flat_rows), len(rows)))
+        flat_rows.extend(rows)
+    row_bpps = fold_sequences(flat_rows, bp_opts)
+
+    out = []
+    for a, (start, cnt) in zip(alignments, spans):
+        profs = [_Profiler(r, b)
+                 for r, b in zip(a.rows, row_bpps[start : start + cnt])]
+        total_w = sum(p.w for p in profs)
+        lp = np.zeros(a.length)
+        for p in profs:
+            lp += p.loop_profile_vec()
+        out.append((lp / total_w).astype(np.float32))
+    return out

@@ -417,14 +417,18 @@ def _banded_precompute(x_codes, y_codes, lx, ly, bp_x, bp_y, band: int,
     return a, a_pad, dk_pad, eq1_win, E2pad, SXT, EG, BW0
 
 
-def full_stem_kernel_banded(*args, **kwargs) -> jax.Array:
+def full_stem_kernel_banded(*args, **kwargs) -> np.ndarray:
     """Raw-value wrapper over :func:`full_stem_kernel_banded_log`.
 
-    Overflows float32 for long, strongly-pairing inputs (values grow like
-    10^(0.15 n); the reference computes in C++ doubles) — use the log
-    variant with the Gram engine's ``log_values=True`` for production runs.
+    Returns a host-side float64 array: the exp is evaluated with NumPy so the
+    double range is real even when ``jax_enable_x64`` is off (a jnp float64
+    cast silently degrades to float32 in that default config, turning long
+    well-pairing inputs into inf).  The reference computes in C++ doubles,
+    which still overflow eventually (values grow like 10^(0.15 n)) — use the
+    log variant with the Gram engine's ``log_values=True`` for production.
     """
-    return jnp.exp(full_stem_kernel_banded_log(*args, **kwargs).astype(jnp.float64)).astype(jnp.float32)
+    log_vals = full_stem_kernel_banded_log(*args, **kwargs)
+    return np.exp(np.asarray(log_vals, dtype=np.float64))
 
 
 @partial(jax.jit, static_argnames=("band", "precision", "ali_bound"))

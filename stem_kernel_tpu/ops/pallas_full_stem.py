@@ -308,8 +308,12 @@ def _pallas_banded(x_codes, y_codes, lx, ly, bp_x, bp_y,
         # (a small ~1M-element gather; the big one is now contiguous slices)
         C = n + 2 * W + 4
         cidx = a[:, :, None] + jnp.arange(C)[None, None, :] - (band + 1)
+        # mask with the TRUE length ly (not just the pad width n) so a caller
+        # passing a bp_y with nonzero entries beyond (ly, ly) cannot diverge
+        # from the XLA path's EG masking (models/full_stem.py), which clips
+        # at c < ly
         SKE = jnp.where(
-            (cidx >= 0) & (cidx < n),
+            (cidx >= 0) & (cidx < ly[:, None, None]),
             jnp.take_along_axis(rows_e, jnp.clip(cidx, 0, n - 1), axis=2),
             0.0,
         )                                                     # (B, NB, C)

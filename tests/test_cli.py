@@ -446,3 +446,49 @@ def test_stem_kernel_banded_predict_mixed_pad(tmp_path):
     labels, rows = read_precomputed(out)
     assert rows.shape == (1, 4)
     assert np.isfinite(rows).all() and (np.abs(rows) <= 1.0 + 1e-5).all()
+
+
+def test_la_kernel_lite_cli_golden_row(tmp_path):
+    # the lite la_kernel binary (/root/reference/stem_kernel_lite/la-main.cpp)
+    from stem_kernel_tpu.cli import la_kernel_lite
+
+    pos_fa, neg_fa = setup_data(tmp_path)
+    out = str(tmp_path / "km.dat")
+    # unnormalized so the raw kernel values can be pinned against the model
+    assert la_kernel_lite.main([out, "+1", pos_fa, "-1", neg_fa]) == 0
+    labels, g = read_precomputed(out)
+    assert g.shape == (12, 12)
+    np.testing.assert_allclose(g, g.T, rtol=1e-5)
+
+    # golden row: the profile string kernel evaluated directly (defaults
+    # alpha=0.2, gap=0.6 — la-main.cpp:45-51)
+    from stem_kernel_tpu.io.parsers import load_examples
+    from stem_kernel_tpu.models.featurize import string_kernel_features
+    from stem_kernel_tpu.models.string_kernel import StringKernel
+
+    alns = load_examples([("+1", pos_fa), ("-1", neg_fa)]).alignments
+    feats = string_kernel_features(alns)
+    kern = StringKernel(0.6, alpha=0.2)
+    want = np.asarray(
+        kern(feats["profile"], feats["length"], feats["profile"][:1].repeat(12, 0),
+             feats["length"][:1].repeat(12, 0))
+    )
+    np.testing.assert_allclose(g[0], want, rtol=2e-4)
+
+
+def test_la_kernel_lite_cli_use_bp_and_no_ribosum(tmp_path):
+    from stem_kernel_tpu.cli import la_kernel_lite
+
+    pos_fa, _ = setup_data(tmp_path, n=3)
+    out = str(tmp_path / "km.dat")
+    assert la_kernel_lite.main(["-n", "--use-bp", out, "+1", pos_fa]) == 0
+    _, g = read_precomputed(out)
+    assert g.shape == (3, 3)
+    np.testing.assert_allclose(np.diag(g), 1.0, rtol=1e-5)
+
+    out2 = str(tmp_path / "km2.dat")
+    assert la_kernel_lite.main(
+        ["-n", "--no-ribosum", "--match", "1.0", "--mismatch", "0.8",
+         out2, "+1", pos_fa]) == 0
+    _, g2 = read_precomputed(out2)
+    assert not np.allclose(g, g2)  # different substitution model

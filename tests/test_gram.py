@@ -304,3 +304,22 @@ def test_bucketed_gram_checkpoint_resume(tmp_path):
     g3 = bucketed_gram(buckets, make_fn, batch_size=4, slab_batches=2,
                        checkpoint_path=str(tmp_path / "ck2"))
     np.testing.assert_allclose(g3, g1, rtol=1e-6)
+
+
+def test_checkpoint_rejects_different_corpus(tmp_path):
+    # same block sizes, different feature CONTENT -> resume must be rejected
+    # (ADVICE r4: identically-sized buckets silently returned stale values)
+    import pytest
+
+    feats_a, _ = make_features(8)
+    path = str(tmp_path / "ckpt_fp")
+    eng_a = PairKernelEngine(string_kernel_fn(), feats_a, batch_size=8,
+                             slab_batches=1)
+    eng_a.gram(checkpoint_path=path)
+
+    feats_b = {k: np.array(v) for k, v in feats_a.items()}
+    feats_b["profile"] = feats_b["profile"][::-1].copy()  # same shapes
+    eng_b = PairKernelEngine(string_kernel_fn(), feats_b, batch_size=8,
+                             slab_batches=1)
+    with pytest.raises(ValueError, match="fingerprint|written for"):
+        eng_b.gram(checkpoint_path=path)
