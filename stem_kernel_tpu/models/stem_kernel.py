@@ -60,10 +60,10 @@ def simple_co_table(match: float, mismatch: float) -> np.ndarray:
     return t
 
 
-@partial(jax.jit, static_argnames=("iters", "len_band", "precision"))
+@partial(jax.jit, static_argnames=("iters", "len_band", "precision", "force_xla"))
 def stem_kernel_pairs(
     x: dict, y: dict, co_table: jax.Array, *, iters: int, len_band: int = 0,
-    precision: str = "highest",
+    precision: str = "highest", force_xla: bool = False,
 ) -> jax.Array:
     """Batched stem-kernel values for pairs of DAG feature dicts.
 
@@ -108,8 +108,9 @@ def stem_kernel_pairs(
 
     # Pallas pads the node axis to 128 lanes, so route small DAG corpora
     # (N < 96) to the einsum loop where padding waste would dominate.
-    if (jax.default_backend() in ("tpu", "axon") and precision == "highest"
-            and ns.shape[1] >= 96):
+    if (not force_xla
+            and jax.default_backend() in ("tpu", "axon")
+            and precision == "highest" and ns.shape[1] >= 96):
         # VMEM-resident Pallas fixed point: operands load once per pair and
         # all iterations run on-chip, with per-pair dynamic trip counts
         from ..ops.pallas_stem import stem_fixed_point
