@@ -30,6 +30,23 @@ def _load():
             ctypes.POINTER(ctypes.c_long),
         ]
         lib.smo_solve.restype = ctypes.c_int
+        fptr = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
+        if hasattr(lib, "smo_solve_f32"):
+            lib.smo_solve_f32.argtypes = [
+                fptr, dptr, dptr, ctypes.c_int, ctypes.c_double,
+                ctypes.c_double, ctypes.c_double, ctypes.c_long, dptr,
+                ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_long),
+            ]
+            lib.smo_solve_f32.restype = ctypes.c_int
+        if hasattr(lib, "smo_solve_nu_f32"):
+            lib.smo_solve_nu_f32.argtypes = [
+                fptr, dptr, dptr, ctypes.c_int, ctypes.c_double,
+                ctypes.c_double, dptr, ctypes.c_double, ctypes.c_long, dptr,
+                ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
+            ]
+            lib.smo_solve_nu_f32.restype = ctypes.c_int
         if hasattr(lib, "smo_solve_nu"):  # older cached builds lack it
             lib.smo_solve_nu.argtypes = [
                 dptr, dptr, dptr, ctypes.c_int, ctypes.c_double,
@@ -58,15 +75,23 @@ def smo_solve_native(K, y, p, C_p, C_n, eps, max_iter):
     if lib is None:
         return None
     n = len(y)
-    K = np.ascontiguousarray(K, dtype=np.float64)
     y = np.ascontiguousarray(y, dtype=np.float64)
     p = np.ascontiguousarray(p, dtype=np.float64)
     alpha = np.zeros(n, dtype=np.float64)
     rho = ctypes.c_double()
     obj = ctypes.c_double()
     it = ctypes.c_long()
-    lib.smo_solve(K, y, p, n, C_p, C_n, eps, int(max_iter),
-                  alpha, ctypes.byref(rho), ctypes.byref(obj), ctypes.byref(it))
+    # float32 Gram matrices (the framework's native dtype) go straight to the
+    # f32 instantiation: converting an n x n matrix to float64 cost 50x the
+    # solve itself at n = 30k (measured, BASELINE.md round 5)
+    if K.dtype == np.float32 and hasattr(lib, "smo_solve_f32"):
+        K = np.ascontiguousarray(K, dtype=np.float32)
+        lib.smo_solve_f32(K, y, p, n, C_p, C_n, eps, int(max_iter), alpha,
+                          ctypes.byref(rho), ctypes.byref(obj), ctypes.byref(it))
+    else:
+        K = np.ascontiguousarray(K, dtype=np.float64)
+        lib.smo_solve(K, y, p, n, C_p, C_n, eps, int(max_iter), alpha,
+                      ctypes.byref(rho), ctypes.byref(obj), ctypes.byref(it))
     return alpha, rho.value, obj.value, it.value
 
 
@@ -76,7 +101,6 @@ def smo_solve_nu_native(K, y, p, C_p, C_n, alpha0, eps, max_iter):
     if lib is None or not hasattr(lib, "smo_solve_nu"):
         return None
     n = len(y)
-    K = np.ascontiguousarray(K, dtype=np.float64)
     y = np.ascontiguousarray(y, dtype=np.float64)
     p = np.ascontiguousarray(p, dtype=np.float64)
     a0 = np.ascontiguousarray(alpha0, dtype=np.float64)
@@ -85,9 +109,16 @@ def smo_solve_nu_native(K, y, p, C_p, C_n, alpha0, eps, max_iter):
     r = ctypes.c_double()
     obj = ctypes.c_double()
     it = ctypes.c_long()
-    lib.smo_solve_nu(K, y, p, n, C_p, C_n, a0, eps, int(max_iter),
-                     alpha, ctypes.byref(rho), ctypes.byref(r),
-                     ctypes.byref(obj), ctypes.byref(it))
+    if K.dtype == np.float32 and hasattr(lib, "smo_solve_nu_f32"):
+        K = np.ascontiguousarray(K, dtype=np.float32)
+        lib.smo_solve_nu_f32(K, y, p, n, C_p, C_n, a0, eps, int(max_iter),
+                             alpha, ctypes.byref(rho), ctypes.byref(r),
+                             ctypes.byref(obj), ctypes.byref(it))
+    else:
+        K = np.ascontiguousarray(K, dtype=np.float64)
+        lib.smo_solve_nu(K, y, p, n, C_p, C_n, a0, eps, int(max_iter),
+                         alpha, ctypes.byref(rho), ctypes.byref(r),
+                         ctypes.byref(obj), ctypes.byref(it))
     return alpha, rho.value, r.value, obj.value, it.value
 
 

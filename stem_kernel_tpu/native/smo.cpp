@@ -14,8 +14,13 @@ namespace {
 constexpr double TAU = 1e-12;
 }
 
-extern "C" int smo_solve(
-    const double* K,      // n*n kernel matrix, row-major
+// Templated on the K element type: the Gram matrices of this framework are
+// float32-born, and converting an n*n matrix to double cost 50x the solve
+// itself at n = 30k (measured, BASELINE.md round 5) — the f32 instantiation
+// reads K directly and keeps all solver arithmetic in double.
+template <typename KT>
+static int smo_solve_impl(
+    const KT* K,          // n*n kernel matrix, row-major
     const double* y,      // labels +-1
     const double* p,      // linear term (usually -1)
     int n,
@@ -46,7 +51,7 @@ extern "C" int smo_solve(
             }
         }
         if (i < 0) break;
-        const double* Ki = K + (int64_t)i * n;
+        const KT* Ki = K + (int64_t)i * n;
         // select j: second-order among I_low with violation
         int j = -1;
         double best = 1e300;
@@ -64,7 +69,7 @@ extern "C" int smo_solve(
             }
         }
         if (G_max - G_min < eps || j < 0) break;
-        const double* Kj = K + (int64_t)j * n;
+        const KT* Kj = K + (int64_t)j * n;
 
         double quad = Kd[i] + Kd[j] - 2.0 * Ki[j];
         if (quad <= 0) quad = TAU;
@@ -119,13 +124,32 @@ extern "C" int smo_solve(
     return 0;
 }
 
+extern "C" int smo_solve(
+    const double* K, const double* y, const double* p, int n,
+    double C_p, double C_n, double eps, long max_iter,
+    double* alpha_out, double* rho_out, double* obj_out, long* iter_out)
+{
+    return smo_solve_impl<double>(K, y, p, n, C_p, C_n, eps, max_iter,
+                                  alpha_out, rho_out, obj_out, iter_out);
+}
+
+extern "C" int smo_solve_f32(
+    const float* K, const double* y, const double* p, int n,
+    double C_p, double C_n, double eps, long max_iter,
+    double* alpha_out, double* rho_out, double* obj_out, long* iter_out)
+{
+    return smo_solve_impl<float>(K, y, p, n, C_p, C_n, eps, max_iter,
+                                 alpha_out, rho_out, obj_out, iter_out);
+}
+
 // nu-formulation SMO (the reference's Solver_NU, libsvm/solver.cpp:559-718):
 // two equality constraints, so working pairs must share a class — the
 // maximal-violating-pair / second-order criterion runs independently inside
 // y=+1 and y=-1 and takes the better of the two.  Native counterpart of
 // stem_kernel_tpu/svm/solver.py:smo_solve_nu.
-extern "C" int smo_solve_nu(
-    const double* K,
+template <typename KT>
+static int smo_solve_nu_impl(
+    const KT* K,
     const double* y,
     const double* p,
     int n,
@@ -147,8 +171,8 @@ extern "C" int smo_solve_nu(
     // G = y * (K @ (y*alpha)) + p
     for (int t = 0; t < n; ++t) {
         double acc = 0;
-        const double* Kt = K + (int64_t)t * n;
-        for (int u = 0; u < n; ++u) acc += Kt[u] * y[u] * alpha[u];
+        const KT* Kt = K + (int64_t)t * n;
+        for (int u = 0; u < n; ++u) acc += (double)Kt[u] * y[u] * alpha[u];
         G[t] = y[t] * acc + p[t];
     }
 
@@ -172,7 +196,7 @@ extern "C" int smo_solve_nu(
         int bi = -1, bj = -1;
         double best = 1e300;
         if (ip >= 0) {
-            const double* Ki = K + (int64_t)ip * n;
+            const KT* Ki = K + (int64_t)ip * n;
             for (int t = 0; t < n; ++t) {
                 if (!(y[t] > 0 && alpha[t] > 0)) continue;
                 double b = Gmaxp + G[t];
@@ -185,7 +209,7 @@ extern "C" int smo_solve_nu(
             }
         }
         if (in_ >= 0) {
-            const double* Ki = K + (int64_t)in_ * n;
+            const KT* Ki = K + (int64_t)in_ * n;
             for (int t = 0; t < n; ++t) {
                 if (!(y[t] < 0 && alpha[t] < C[t])) continue;
                 double b = Gmaxn - G[t];
@@ -199,8 +223,8 @@ extern "C" int smo_solve_nu(
         }
         if (bi < 0) break;
         int i = bi, j = bj;
-        const double* Ki = K + (int64_t)i * n;
-        const double* Kj = K + (int64_t)j * n;
+        const KT* Ki = K + (int64_t)i * n;
+        const KT* Kj = K + (int64_t)j * n;
 
         // same-class 2-variable update
         double quad = Kd[i] + Kd[j] - 2.0 * Ki[j];
@@ -244,4 +268,26 @@ extern "C" int smo_solve_nu(
     for (int t = 0; t < n; ++t) alpha_out[t] = alpha[t];
     *iter_out = it;
     return 0;
+}
+
+extern "C" int smo_solve_nu(
+    const double* K, const double* y, const double* p, int n,
+    double C_p, double C_n, const double* alpha0, double eps, long max_iter,
+    double* alpha_out, double* rho_out, double* r_out, double* obj_out,
+    long* iter_out)
+{
+    return smo_solve_nu_impl<double>(K, y, p, n, C_p, C_n, alpha0, eps,
+                                     max_iter, alpha_out, rho_out, r_out,
+                                     obj_out, iter_out);
+}
+
+extern "C" int smo_solve_nu_f32(
+    const float* K, const double* y, const double* p, int n,
+    double C_p, double C_n, const double* alpha0, double eps, long max_iter,
+    double* alpha_out, double* rho_out, double* r_out, double* obj_out,
+    long* iter_out)
+{
+    return smo_solve_nu_impl<float>(K, y, p, n, C_p, C_n, alpha0, eps,
+                                    max_iter, alpha_out, rho_out, r_out,
+                                    obj_out, iter_out);
 }

@@ -314,3 +314,24 @@ def test_nu_svr_cli(tmp_path):
     assert predict_main([str(mat), str(model), str(out)]) == 0
     preds = np.array([float(l) for l in out.read_text().split()])
     assert np.corrcoef(preds, z)[0, 1] > 0.9
+
+
+def test_native_f32_kernel_path_matches_f64():
+    # the f32 instantiation (round 5) must agree with the f64 solver on the
+    # same data — it skips the O(n^2) dtype conversion, not any math
+    from stem_kernel_tpu.native import available
+    if not available():
+        import pytest
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(3)
+    n = 200
+    X = rng.normal(0, 1, (n, 8))
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    K32 = (Xn @ Xn.T).astype(np.float32)
+    y = np.where(rng.random(n) > 0.5, 1.0, -1.0)
+    p = np.full(n, -1.0)
+    r32 = smo_solve(K32, y, p, 1.0, 1.0, eps=1e-4)
+    r64 = smo_solve(K32.astype(np.float64), y, p, 1.0, 1.0, eps=1e-4)
+    assert abs(r32.rho - r64.rho) < 1e-6
+    assert abs(r32.obj - r64.obj) < 1e-3
+    np.testing.assert_allclose(r32.alpha, r64.alpha, atol=1e-6)
