@@ -35,6 +35,12 @@ def add_fold_options(p: argparse.ArgumentParser) -> None:
                         "PARAMS is a CONTRAfold-format weight file, a "
                         "Vienna .par, or the literal 'default' for the "
                         "shipped thermodynamically-seeded weights")
+    p.add_argument("--fast-fold", action="store_true",
+                   help="fast folding tier: drop the int11/int21/int22/"
+                        "bulge-1 special tables and collapse the interior "
+                        "mismatch classes (generic-formula energies for "
+                        "every loop) — ~1.6x fold throughput; BPP accuracy "
+                        "impact measured in BASELINE.md")
 
 
 def fold_opts_from(ns: argparse.Namespace) -> BPMatrixOptions:
@@ -60,6 +66,10 @@ def fold_opts_from(ns: argparse.Namespace) -> BPMatrixOptions:
         params.no_closing_gu = bool(getattr(ns, "noClosingGU", False))
         params.no_lonely_pairs = bool(getattr(ns, "noLonelyPairs", False))
         opts.params = params
+    if getattr(ns, "fast_fold", False):
+        from ..fold.params import default_params, fast_variant
+
+        opts.params = fast_variant(opts.params or default_params())
     return opts
 
 

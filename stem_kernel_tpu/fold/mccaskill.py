@@ -61,20 +61,36 @@ def _interior_offsets(params: EnergyParams):
     and bulges >= 2.  Stack/bulge-1/int11/int21/int22 are explicit lut terms.
     """
     offs, pens, clss = [], [], []
+    fast = getattr(params, "fast", False)
     for a in range(1, params.max_interior + 2):
         for b in range(1, params.max_interior + 2):
             n1, n2 = a - 1, b - 1
             if n1 + n2 > params.max_interior:
                 continue
             ns, nl = min(n1, n2), max(n1, n2)
-            if nl == 0 or (ns >= 1 and nl <= 2 and ns <= 2 and (ns, nl) in (
-                (1, 1), (1, 2), (2, 2))):
-                continue  # stack / int11 / int21 / int22: explicit luts
+            if nl == 0:
+                continue  # stack: always an explicit lut term
+            if not fast and (ns >= 1 and nl <= 2 and ns <= 2 and (ns, nl) in (
+                    (1, 1), (1, 2), (2, 2))):
+                continue  # int11 / int21 / int22: explicit luts (full model)
             if ns == 0:
-                if nl == 1:
+                if nl == 1 and not fast:
                     continue  # bulge-1: explicit lut (keeps stacking)
+                # fast tier: bulge-1 rides the generic bulge length table
                 pen = float(loop_len_score(params.bulge_len, params.lxc, nl))
-                cls = _CLS_BUL
+                cls = 1 if fast else _CLS_BUL
+            elif fast:
+                # fast tier: ONE interior class (generic mismatch) with the
+                # generic length + NINIO asymmetry formula for every loop,
+                # including the 1x1/2x1/2x2 and 1xn/2x3 specials
+                asym = max(params.ninio * (nl - ns), params.ninio_max)
+                if params.interior_asym_table is not None:
+                    at = params.interior_asym_table
+                    asym = float(at[min(nl - ns, len(at) - 1)])
+                pen = float(
+                    loop_len_score(params.interior_len, params.lxc, ns + nl)
+                ) + asym
+                cls = 0
             else:
                 if params.interior_asym_table is not None:
                     at = params.interior_asym_table
@@ -101,6 +117,27 @@ def _interior_offsets(params: EnergyParams):
     offs = np.asarray(offs, dtype=np.int32)
     return (offs[:, 0], offs[:, 1], np.asarray(pens),
             np.asarray(clss, dtype=np.int32))
+
+
+_EXPLICIT_TERMS = (
+    ("bulge1_l", 3, 2), ("bulge1_r", 3, 1),
+    ("int11", 4, 2),
+    ("int21_l", 5, 2), ("int21_r", 5, 3),
+    ("int22", 6, 3),
+)
+
+
+def _explicit_terms(params):
+    """Explicit small-loop lut terms; empty in the fast tier."""
+    return () if getattr(params, "fast", False) else _EXPLICIT_TERMS
+
+
+def _class_lut_names(params):
+    """(out, in) mismatch-lut names per loop class; 2 classes in fast."""
+    if getattr(params, "fast", False):
+        return (("mm_i_out", "term_out"), ("mm_i_in", "term_in"))
+    return (("mm_i_out", "mm_1n_out", "mm_23_out", "term_out"),
+            ("mm_i_in", "mm_1n_in", "mm_23_in", "term_in"))
 
 
 def _span_gather(table: jax.Array, rows: jax.Array, cols: jax.Array) -> jax.Array:
@@ -134,13 +171,15 @@ def _inside(codes: jax.Array, length: jax.Array, params_key, w_extra, pt_ov, ia,
 
     # class tables: mm_out rows gathered per step; mm_in folded into shadow
     # copies of Qb (QbX[d, i] = Qb[d, i] + mm_in_cls[i, i+d])
-    cls_out = [L["mm_i_out"], L["mm_1n_out"], L["mm_23_out"], L["term_out"]]
-    cls_in = [L["mm_i_in"], L["mm_1n_in"], L["mm_23_in"], L["term_in"]]
+    out_names, in_names = _class_lut_names(params)
+    cls_out = [L[nm] for nm in out_names]
+    cls_in = [L[nm] for nm in in_names]
+    ncls = len(cls_out)
 
     full = lambda: jnp.full((n, n), NEG, dt)
     init = (
         full(),  # Qb   (span layout [d, i])
-        [full(), full(), full(), full()],  # class-weighted Qb shadows
+        [full() for _ in range(ncls)],  # class-weighted Qb shadows
         full(),  # Qm1
         full(),  # Qm
         full(),  # Qm2
@@ -158,15 +197,11 @@ def _inside(codes: jax.Array, length: jax.Array, params_key, w_extra, pt_ov, ia,
             acc, ij_diag(L["stack"], d)
             + _span_gather(Qb, jnp.full((n,), d - 2), i_idx + 1)
         )
-        # explicit small-loop luts: (lut, inner span offset, inner start shift)
-        for lut, ds, sh in (
-            (L["bulge1_l"], 3, 2), (L["bulge1_r"], 3, 1),
-            (L["int11"], 4, 2),
-            (L["int21_l"], 5, 2), (L["int21_r"], 5, 3),
-            (L["int22"], 6, 3),
-        ):
+        # explicit small-loop luts: (lut, inner span offset, inner start
+        # shift); empty in the fast tier (params.fast)
+        for name, ds, sh in _explicit_terms(params):
             acc = jnp.logaddexp(
-                acc, ij_diag(lut, d)
+                acc, ij_diag(L[name], d)
                 + _span_gather(Qb, jnp.full((n,), d - ds), i_idx + sh)
             )
 
@@ -174,9 +209,9 @@ def _inside(codes: jax.Array, length: jax.Array, params_key, w_extra, pt_ov, ia,
         # shadow per offset from one concatenated (4n, n) table
         rows = d - (ia + ib)  # (K,)
         out_k = jnp.stack(
-            [ij_diag(cls_out[c], d) for c in range(4)], axis=0
-        )  # (4, n)
-        qb_cat = jnp.concatenate(QbX, axis=0)  # (4n, n)
+            [ij_diag(cls_out[c], d) for c in range(ncls)], axis=0
+        )  # (ncls, n)
+        qb_cat = jnp.concatenate(QbX, axis=0)  # (ncls*n, n)
         cols = i_idx[None, :] + ia[:, None]
         r2 = rows[:, None]
         valid = (r2 >= 0) & (r2 < n) & (cols >= 0) & (cols < n)
@@ -210,7 +245,8 @@ def _inside(codes: jax.Array, length: jax.Array, params_key, w_extra, pt_ov, ia,
 
         Qb = Qb.at[d].set(qb_row)
         QbX = [
-            QbX[c].at[d].set(qb_row + ij_diag(cls_in[c], d)) for c in range(4)
+            QbX[c].at[d].set(qb_row + ij_diag(cls_in[c], d))
+            for c in range(ncls)
         ]
         Qm1 = Qm1.at[d].set(qm1_row)
         Qm = Qm.at[d].set(qm_row)
@@ -260,8 +296,10 @@ def _outside(codes, length, params_key, w_extra, pt_ov, ia, ib, ipen, icls,
     u_idx = jnp.arange(n)
     c_ml = dt.type(params.ml_unpaired)
 
-    cls_out = [L["mm_i_out"], L["mm_1n_out"], L["mm_23_out"], L["term_out"]]
-    cls_in = [L["mm_i_in"], L["mm_1n_in"], L["mm_23_in"], L["term_in"]]
+    out_names, in_names = _class_lut_names(params)
+    cls_out = [L[nm] for nm in out_names]
+    cls_in = [L[nm] for nm in in_names]
+    ncls = len(cls_out)
 
     # --- outside of the external chain: OQl[j] over j ---
     c_ext = dt.type(params.ext_unpaired)
@@ -329,19 +367,15 @@ def _outside(codes, length, params_key, w_extra, pt_ov, ia, ib, ipen, icls,
             + ij_gather(L["wpair"], i_idx - 1, j + 1) \
             + ij_gather(L["stack"], i_idx - 1, j + 1)
         acc = jnp.logaddexp(ext, stk)
-        # explicit small-loop luts as inner pair of (i-sh, j+(ds-sh))
-        for lut, ds, sh in (
-            (L["bulge1_l"], 3, 2), (L["bulge1_r"], 3, 1),
-            (L["int11"], 4, 2),
-            (L["int21_l"], 5, 2), (L["int21_r"], 5, 3),
-            (L["int22"], 6, 3),
-        ):
+        # explicit small-loop luts as inner pair of (i-sh, j+(ds-sh));
+        # empty in the fast tier
+        for name, ds, sh in _explicit_terms(params):
             t = ij_gather(Ob, jnp.full((n,), D + ds), i_idx - sh) \
                 + ij_gather(L["wpair"], i_idx - sh, j + (ds - sh)) \
-                + ij_gather(lut, i_idx - sh, j + (ds - sh))
+                + ij_gather(L[name], i_idx - sh, j + (ds - sh))
             acc = jnp.logaddexp(acc, t)
         # class sweep as inner pair of (i-a, j+b); add this pair's mm_in after
-        out_cat = jnp.concatenate(cls_out, axis=0)  # (4n, n) [i, j] layout
+        out_cat = jnp.concatenate(cls_out, axis=0)  # (ncls*n, n) [i, j]
         ro = i_idx[None, :] - ia[:, None]
         co = j[None, :] + ib[:, None]
         valid_o = (ro >= 0) & (ro < n) & (co >= 0) & (co < n)
@@ -352,8 +386,8 @@ def _outside(codes, length, params_key, w_extra, pt_ov, ia, ib, ipen, icls,
             + ij_gather(L["wpair"], ro, co) \
             + out_lut
         in_sel = jnp.stack(
-            [ij_gather(cls_in[c], i_idx, j) for c in range(4)], axis=0
-        )  # (4, n)
+            [ij_gather(cls_in[c], i_idx, j) for c in range(ncls)], axis=0
+        )  # (ncls, n)
         acc = jnp.logaddexp(
             acc, jax.nn.logsumexp(it + in_sel[icls], axis=0)
         )
@@ -395,7 +429,7 @@ def _register(params: EnergyParams) -> str:
         params.max_interior, params.min_hairpin,
         params.no_gu, params.no_closing_gu, params.no_lonely_pairs,
         params.ext_unpaired, params.ext_paired, params.mismatch_all_hairpins,
-        params.bulge1_no_stack,
+        params.bulge1_no_stack, getattr(params, "fast", False),
         np.zeros(4) if params.bulge1_nuc is None else params.bulge1_nuc,
         np.zeros(1) if params.interior_explicit is None
         else params.interior_explicit,

@@ -63,16 +63,31 @@ _EXPLICIT = (
 )
 _CLS_OUT = ("mm_i_out", "mm_1n_out", "mm_23_out", "term_out")
 _CLS_IN = ("mm_i_in", "mm_1n_in", "mm_23_in", "term_in")
+# fast tier: 2 classes (generic interior, bulge), no explicit small-loop luts
+_CLS_OUT_FAST = ("mm_i_out", "term_out")
+_CLS_IN_FAST = ("mm_i_in", "term_in")
+
+
+def _cls_names(params) -> tuple[tuple[str, ...], tuple[str, ...]]:
+    if getattr(params, "fast", False):
+        return _CLS_OUT_FAST, _CLS_IN_FAST
+    return _CLS_OUT, _CLS_IN
+
+
+def _expl_terms(params):
+    return () if getattr(params, "fast", False) else _EXPLICIT
 
 
 def _class_kernels(params: EnergyParams) -> list[np.ndarray]:
     """One exp(penalty) conv kernel per loop class, K[c, a] with c = a + b.
 
     Built from the SAME offset classification as the log engine
-    (mccaskill._interior_offsets), so the two engines cover identical terms.
+    (mccaskill._interior_offsets), so the two engines cover identical terms
+    — including the 2-class fast tier (params.fast).
     """
     cdim = params.max_interior + 3
-    ks = [np.zeros((cdim, cdim), dtype=np.float64) for _ in range(4)]
+    n_cls = 2 if getattr(params, "fast", False) else 4
+    ks = [np.zeros((cdim, cdim), dtype=np.float64) for _ in range(n_cls)]
     ia, ib, ipen, icls = _interior_offsets(params)
     for a, b, pen, cls in zip(ia, ib, ipen, icls):
         ks[cls][a + b, a] = np.exp(pen)
@@ -183,6 +198,8 @@ def _inside_scaled(codes, length, params_key, w_extra, pt_ov):
     i_idx = jnp.arange(n)
 
     kernels = [jnp.asarray(k, dt) for k in _class_kernels(params)]
+    cls_out, cls_in = _cls_names(params)
+    ncls = len(cls_out)
     cdim = kernels[0].shape[0]
     c_lin = jnp.float32(np.exp(params.ml_unpaired))
     cpow = jnp.asarray(
@@ -193,7 +210,7 @@ def _inside_scaled(codes, length, params_key, w_extra, pt_ov):
     nrev = n + max(n, cdim) + 1  # rev buffers must fit (start, cdim|n) slices
     carry = dict(
         rqb=jnp.zeros((nrev, n), dt),            # rev span Qb rows at n-1-d
-        rqbx=jnp.zeros((4, nrev, n), dt),        # class-weighted Qb shadows
+        rqbx=jnp.zeros((ncls, nrev, n), dt),     # class-weighted Qb shadows
         rqm1e=jnp.zeros((nrev, n), dt),          # rev end-layout Qm1 rows
         qm_tbl=jnp.zeros((n, n), dt),            # start-layout Qm rows
         mu=jnp.full((n,), NEG, dt),
@@ -210,7 +227,7 @@ def _inside_scaled(codes, length, params_key, w_extra, pt_ov):
         start = n - 1 - d
         t_slab = jax.lax.dynamic_slice(carry["rqb"], (start, 0), (cdim, n))
         tx_slab = jax.lax.dynamic_slice(
-            carry["rqbx"], (0, start, 0), (4, cdim, n)
+            carry["rqbx"], (0, start, 0), (ncls, cdim, n)
         )
         mu_t = jax.lax.dynamic_slice(carry["mu_rev"], (start,), (cdim,))
         s_slab = jax.lax.dynamic_slice(carry["rqm1e"], (start, 0), (n, n))
@@ -232,10 +249,10 @@ def _inside_scaled(codes, length, params_key, w_extra, pt_ov):
         txf = tx_slab * f_t[None, :, None]
         acc = jnp.exp(hp_row - p)  # hairpin (full lut)
         acc = acc + row_of(exps["stack"], d) * _shift_left(tf[2], 1, 1)
-        for (name, ds, sh) in _EXPLICIT:
+        for (name, ds, sh) in _expl_terms(params):
             acc = acc + row_of(exps[name], d) * _shift_left(tf[ds], sh, sh)
-        for c in range(4):
-            acc = acc + row_of(exps[_CLS_OUT[c]], d) * _conv_rows(
+        for c in range(ncls):
+            acc = acc + row_of(exps[cls_out[c]], d) * _conv_rows(
                 txf[c], kernels[c], flip=False
             )
         acc = acc + row_of(exps["ml_close"], d) * _shift_left(
@@ -271,7 +288,7 @@ def _inside_scaled(codes, length, params_key, w_extra, pt_ov):
         mu_d = jnp.where(m > 0, p + jnp.log(scale), jnp.float32(NEG))
 
         qbx = jnp.stack(
-            [qb * row_of(exps[_CLS_IN[c]], d) for c in range(4)], axis=0
+            [qb * row_of(exps[cls_in[c]], d) for c in range(ncls)], axis=0
         )
         qm1e = _shift_right(qm1, d, n)
         carry = dict(
@@ -357,8 +374,10 @@ def _outside_scaled(codes, length, params_key, w_extra, pt_ov, ins):
     wpadS = padded("wpair")
     stkpadS = padded("stack")
     mlclosepadS = padded("ml_close")
-    expl_pads = {name: padded(name) for (name, _, _) in _EXPLICIT}
-    clsout_pads = [padded(nm) for nm in _CLS_OUT]
+    expl_pads = {name: padded(name) for (name, _, _) in _expl_terms(params)}
+    cls_out, cls_in = _cls_names(params)
+    ncls = len(cls_out)
+    clsout_pads = [padded(nm) for nm in cls_out]
 
     c_lin = jnp.float32(np.exp(params.ml_unpaired))
     cpow = jnp.asarray(
@@ -457,7 +476,7 @@ def _outside_scaled(codes, length, params_key, w_extra, pt_ov, ins):
             1, 1,
         )
         acc = ext + stack_term
-        for (name, ds, sh) in _EXPLICIT:
+        for (name, ds, sh) in _expl_terms(params):
             obk = row_at(carry["ob_pad"], D + ds)
             wpk = row_at(wpadS, D + ds)
             lk = row_at(expl_pads[name], D + ds)
@@ -468,10 +487,10 @@ def _outside_scaled(codes, length, params_key, w_extra, pt_ov, ins):
         ob_cslab = jax.lax.dynamic_slice(carry["ob_pad"], (D, 0), (cdim, n))
         wp_cslab = jax.lax.dynamic_slice(wpadS, (D, 0), (cdim, n))
         f_c = jnp.exp(jax.lax.dynamic_slice(om_off, (D,), (cdim,)) - p)
-        for c in range(4):
+        for c in range(ncls):
             mo_cslab = jax.lax.dynamic_slice(clsout_pads[c], (D, 0), (cdim, n))
             slab = ob_cslab * wp_cslab * mo_cslab * f_c[:, None]
-            acc = acc + row_at(exps[_CLS_IN[c]], D) * _conv_rows(
+            acc = acc + row_at(exps[cls_in[c]], D) * _conv_rows(
                 slab, kernels[c], flip=True
             )
         # multiloop branch entry

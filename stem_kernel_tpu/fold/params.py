@@ -128,6 +128,11 @@ class EnergyParams:
     ml_unpaired: float  # per unpaired base (c)
     special_hairpins: dict = field(default_factory=dict)  # seq -> total score
     max_interior: int = 30  # total unpaired bases in an interior/bulge loop
+    # fast tier (--fast-fold): drop the int11/int21/int22/bulge-1 special
+    # tables (constructed approximations anyway, BASELINE.md) and collapse
+    # the four interior mismatch classes to two (generic interior, bulge)
+    # — every loop still gets a principled generic-formula energy
+    fast: bool = False
     min_hairpin: int = 3  # minimum unpaired bases in a hairpin
     no_gu: bool = False  # disallow GU/UG pairs entirely
     no_closing_gu: bool = False  # GU/UG may not close hairpin/multi loops
@@ -150,6 +155,13 @@ class EnergyParams:
     @property
     def interior_asym(self) -> float:
         return self.ninio
+
+
+def fast_variant(params: EnergyParams) -> EnergyParams:
+    """The --fast-fold tier of a parameter set (params.fast docstring)."""
+    import dataclasses
+
+    return dataclasses.replace(params, fast=True)
 
 
 def default_params() -> EnergyParams:

@@ -492,3 +492,13 @@ def test_la_kernel_lite_cli_use_bp_and_no_ribosum(tmp_path):
          out2, "+1", pos_fa]) == 0
     _, g2 = read_precomputed(out2)
     assert not np.allclose(g, g2)  # different substitution model
+
+
+def test_fast_fold_cli(tmp_path):
+    pos_fa, neg_fa = setup_data(tmp_path, n=4)
+    out = str(tmp_path / "km_fast.dat")
+    assert stem_kernel_lite.main(
+        ["--fast-fold", "-n", out, "+1", pos_fa, "-1", neg_fa]) == 0
+    _, g = read_precomputed(out)
+    assert g.shape == (8, 8)
+    np.testing.assert_allclose(np.diag(g), 1.0, rtol=1e-5)

@@ -431,3 +431,28 @@ def test_true_alifold_row_energy_averaging():
     # impute the column consensus)
     a_gap = alifold_bpp(Alignment(rows=[s1, "ggg-gcaagcuugaaagcg-cc"]))
     assert np.isfinite(a_gap).all() and a_gap.sum() > 0
+
+
+def test_fast_tier_engines_agree():
+    # --fast-fold model: scaled f32 engine vs log-space oracle on the SAME
+    # (reduced) energy model; also sanity vs the full model's BPPs
+    from stem_kernel_tpu.fold.bpmatrix import BPMatrixOptions, fold_sequences
+    from stem_kernel_tpu.fold.mccaskill import mccaskill_bpp
+    from stem_kernel_tpu.fold.params import default_params, fast_variant
+    from stem_kernel_tpu.io.alphabet import encode
+
+    seqs = ["gggcgcaagcuugaaagcgccc", "ggcacuucggugccaaauucgcg"]
+    fp = fast_variant(default_params())
+    bpps = fold_sequences(seqs, BPMatrixOptions(params=fp))
+    for s, got in zip(seqs, bpps):
+        want, _ = mccaskill_bpp(encode(s), params=fp)
+        np.testing.assert_allclose(
+            got[: len(s), : len(s)], np.asarray(want), atol=5e-4)
+
+    full = fold_sequences(seqs, BPMatrixOptions())
+    for a, b in zip(full, bpps):
+        # same dominant helix: argmax pairs within one stack rung
+        ia, ja = np.unravel_index(np.argmax(a), a.shape)
+        ib, jb = np.unravel_index(np.argmax(b), b.shape)
+        assert abs(int(ia) - int(ib)) <= 1 and abs(int(ja) - int(jb)) <= 1
+        assert not np.allclose(a, b)  # it IS a different (reduced) model
