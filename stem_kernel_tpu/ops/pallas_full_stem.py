@@ -45,8 +45,8 @@ from jax.experimental.pallas import tpu as pltpu
 RESCALE_EVERY = 8  # levels between state rescales (growth stays << f32 max)
 
 
-def _kernel(gap: float, stack: float, subst: float, W: int, NB: int,
-            # refs: streams (1,1,1,L), resident rows, output, scratch
+def _kernel(gap: float, stack: float, subst: float, W: int, NB: int, G: int,
+            # refs: streams (1,1,1,G*L), resident rows, output, scratch
             bpx_ref, off_ref, dj_ref, e2_ref, egk_ref,
             dk_ref, wl_ref, eq1_ref, bw0_ref,
             out_ref,
@@ -60,7 +60,7 @@ def _kernel(gap: float, stack: float, subst: float, W: int, NB: int,
     The in-half sublane shifts are 4-piece concats so halves never mix.
     """
     d_idx = pl.program_id(1)  # level d = d_idx + 1
-    L = NB * W
+    L = G * NB * W  # G >= 2: ganged pairs side by side on lanes
     f32 = jnp.float32
     g = f32(gap)
     lng = f32(np.log(gap))
@@ -184,11 +184,18 @@ def _kernel(gap: float, stack: float, subst: float, W: int, NB: int,
     KG0n = KG0n * (tri * (1.0 - diagf)) + seed * diagf
     KG1n = KG1n * (tri * (1.0 - diagf))
 
-    # ---- emit log K(0, d, 0, a(d)) for this level ----
-    v = KG0n[W // 2:W // 2 + 1, W // 2:W // 2 + 1]  # K half: block 0, k=0
+    # ---- emit log K(0, d, 0, a(d)) for this level, one per ganged pair
+    # (pair p occupies lanes [p*NB*W, (p+1)*NB*W); its block-0 window
+    # center is the static lane p*NB*W + W//2) ----
+    vs = [
+        KG0n[W // 2:W // 2 + 1,
+             pq * NB * W + W // 2: pq * NB * W + W // 2 + 1]
+        for pq in range(G)
+    ]
+    v = jnp.concatenate(vs, axis=1) if G > 1 else vs[0]
     out_ref[...] = (
         jnp.where(v > 0, jnp.log(jnp.maximum(v, 1e-38)), -jnp.inf) + logS[0, 0]
-    ).reshape(1, 1, 1, 1)
+    ).reshape(1, 1, 1, G)
 
     # ---- commit state; rescale every RESCALE_EVERY levels ----
     G0pp[...] = KG0[W:, :]
@@ -205,10 +212,12 @@ def _kernel(gap: float, stack: float, subst: float, W: int, NB: int,
         logS[0, 0] = logS[0, 0] + jnp.log(m)
 
 
-@functools.partial(jax.jit, static_argnames=("band", "gap", "stack", "subst", "interpret", "ali_bound"))
+@functools.partial(jax.jit, static_argnames=(
+    "band", "gap", "stack", "subst", "interpret", "ali_bound", "gang"))
 def _pallas_banded(x_codes, y_codes, lx, ly, bp_x, bp_y,
                    gap: float, stack: float, subst: float,
-                   band: int, interpret: bool, ali_bound: float = 0.0):
+                   band: int, interpret: bool, ali_bound: float = 0.0,
+                   gang: int = 1):
     from ..models.full_stem import (
         _banded_precompute, _pad_pair_to_common, phmm_anchor,
     )
@@ -348,32 +357,69 @@ def _pallas_banded(x_codes, y_codes, lx, ly, bp_x, bp_y,
     ).reshape(bsz, W, L).astype(f32)
     bw0_plane = jnp.swapaxes(BW0, 1, 2).reshape(bsz, W, L).astype(f32)
 
-    grid = (bsz, n)
-    kern = functools.partial(_kernel, float(gap), float(stack), float(subst), W, NB)
+    # ---- optional pair-ganging along the lane axis (round-5 experiment,
+    # MEASURED NEGATIVE on the v5e at the n=300 bench point — see
+    # full_stem_banded_pallas_log's docstring; default G = 1 is the
+    # shipped fast path).  Cross-pair leakage of the W-lane block roll
+    # only enters each pair's block NB-1 = n, which is invalid at every
+    # level d >= 1; emitted values read only valid blocks.  The rescale
+    # log-scale is shared per gang (a uniform lane multiply — exact). ----
+    G = max(1, gang)
+    pad_b = (-bsz) % G
+    if pad_b:
+        def padb(x):
+            return jnp.pad(x, ((0, pad_b),) + ((0, 0),) * (x.ndim - 1))
+        bpx_s, off_s, dj_s, e2_rows, egk_s, dk_row, eq1_plane, bw0_plane = (
+            padb(v) for v in (bpx_s, off_s, dj_s, e2_rows, egk_s, dk_row,
+                              eq1_plane, bw0_plane))
+    bg = (bsz + pad_b) // G
+    LG = G * L
+    if G > 1:
+        def g4(x):  # (B, n, 1, L) -> (B/G, n, 1, G*L)
+            return x.reshape(bg, G, n, 1, L).transpose(0, 2, 3, 1, 4) \
+                    .reshape(bg, n, 1, LG)
+
+        def g3(x):  # (B, R, L) -> (B/G, R, G*L)
+            r = x.shape[1]
+            return x.reshape(bg, G, r, L).transpose(0, 2, 1, 3) \
+                    .reshape(bg, r, LG)
+
+        bpx_s, off_s, dj_s, e2_rows, egk_s = (
+            g4(v) for v in (bpx_s, off_s, dj_s, e2_rows, egk_s))
+        dk_row, eq1_plane, bw0_plane = (
+            g3(v) for v in (dk_row, eq1_plane, bw0_plane))
+        wl_row = jnp.broadcast_to(
+            (jnp.arange(LG) % W).astype(f32)[None, None, :], (1, 1, LG))
+
+    grid = (bg, n)
+    kern = functools.partial(
+        _kernel, float(gap), float(stack), float(subst), W, NB, G)
     outs = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, 1, L), lambda b, s: (b, s, 0, 0)),  # bpx
-            pl.BlockSpec((1, 1, 1, L), lambda b, s: (b, s, 0, 0)),  # off
-            pl.BlockSpec((1, 1, 1, L), lambda b, s: (b, s, 0, 0)),  # dj
-            pl.BlockSpec((1, 1, 1, L), lambda b, s: (b, s, 0, 0)),  # e2
-            pl.BlockSpec((1, 1, 1, L), lambda b, s: (b, s, 0, 0)),  # egk
-            pl.BlockSpec((1, 1, L), lambda b, s: (b, 0, 0)),        # dk row
-            pl.BlockSpec((1, 1, L), lambda b, s: (0, 0, 0)),        # wl row
-            pl.BlockSpec((1, W, L), lambda b, s: (b, 0, 0)),        # eq1 plane
-            pl.BlockSpec((1, W, L), lambda b, s: (b, 0, 0)),        # BW0 plane
+            pl.BlockSpec((1, 1, 1, LG), lambda b, s: (b, s, 0, 0)),  # bpx
+            pl.BlockSpec((1, 1, 1, LG), lambda b, s: (b, s, 0, 0)),  # off
+            pl.BlockSpec((1, 1, 1, LG), lambda b, s: (b, s, 0, 0)),  # dj
+            pl.BlockSpec((1, 1, 1, LG), lambda b, s: (b, s, 0, 0)),  # e2
+            pl.BlockSpec((1, 1, 1, LG), lambda b, s: (b, s, 0, 0)),  # egk
+            pl.BlockSpec((1, 1, LG), lambda b, s: (b, 0, 0)),        # dk row
+            pl.BlockSpec((1, 1, LG), lambda b, s: (0, 0, 0)),        # wl row
+            pl.BlockSpec((1, W, LG), lambda b, s: (b, 0, 0)),        # eq1 plane
+            pl.BlockSpec((1, W, LG), lambda b, s: (b, 0, 0)),        # BW0 plane
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, 1), lambda b, s: (b, s, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((bsz, n, 1, 1), f32),
-        scratch_shapes=[pltpu.VMEM((2 * W, L), f32), pltpu.VMEM((2 * W, L), f32),
-                        pltpu.VMEM((W, L), f32), pltpu.VMEM((W, L), f32),
+        out_specs=pl.BlockSpec((1, 1, 1, G), lambda b, s: (b, s, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bg, n, 1, G), f32),
+        scratch_shapes=[pltpu.VMEM((2 * W, LG), f32), pltpu.VMEM((2 * W, LG), f32),
+                        pltpu.VMEM((W, LG), f32), pltpu.VMEM((W, LG), f32),
                         pltpu.SMEM((1, 1), f32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(bpx_s, off_s, dj_s, e2_rows, egk_s, dk_row, wl_row, eq1_plane, bw0_plane)
 
-    vals = outs.reshape(bsz, n)[jnp.arange(bsz), jnp.clip(lx - 1, 0, n - 1)]
+    # outs (bg, n, 1, G): pair p of group b sits at [..., p]
+    per_pair = outs.reshape(bg, n, G).transpose(0, 2, 1).reshape(bg * G, n)[:bsz]
+    vals = per_pair[jnp.arange(bsz), jnp.clip(lx - 1, 0, n - 1)]
     return jnp.where(lx == 0, 0.0, vals)
 
 
@@ -381,7 +427,7 @@ def full_stem_banded_pallas_log(
     x_codes, y_codes, lx, ly, bp_x, bp_y,
     gap: float, stack: float, subst: float,
     band: int = 16, interpret: bool | None = None,
-    ali_bound: float = 0.0,
+    ali_bound: float = 0.0, gang: int | None = None,
 ):
     """log K of the banded full stem kernel, VMEM-resident Pallas path.
 
@@ -389,13 +435,24 @@ def full_stem_banded_pallas_log(
     staircase-anchor windows, pair auto-swap, log output) with gap/stack/
     subst STATIC (they fold into scan constants).  ``interpret`` defaults to
     True off-TPU so tests exercise the kernel on CPU.
+
+    ``gang``: pairs packed side by side along the lane axis of one grid
+    step.  Default 1 — MEASURED NEGATIVE on the v5e (BASELINE.md round 5):
+    per-step cost grows superlinearly with lane width (G=2 at n=300 is
+    slower per pair than G=1, and even at matched total lanes the ganged
+    layout costs ~50%% more per step), so the hoped-for fixed-cost
+    amortization never materializes.  Kept for experimentation on other
+    TPU generations; correctness is covered by the interpret-mode property
+    tests, which exercise G = min(4, batch).
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
+    if gang is None:
+        gang = 1
     return _pallas_banded(
         x_codes, y_codes,
         jnp.asarray(lx, jnp.int32), jnp.asarray(ly, jnp.int32),
         jnp.asarray(bp_x, jnp.float32), jnp.asarray(bp_y, jnp.float32),
         float(gap), float(stack), float(subst), int(band), bool(interpret),
-        float(ali_bound),
+        float(ali_bound), int(gang),
     )

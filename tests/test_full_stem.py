@@ -426,3 +426,33 @@ def test_banded_fuzz_random_pairs():
             np.testing.assert_allclose(
                 np.exp(ref.astype(np.float64)), dense, rtol=rtol,
                 err_msg=f"trial {trial} dense: {sa} vs {sb} band={band}")
+
+
+def test_pallas_banded_gang_matches_ungang():
+    # the lane-axis pair-gang packing (round-5 experiment, default off) must
+    # be value-identical: odd gang + batch padding exercises the pad path
+    from stem_kernel_tpu.models.full_stem import pair_weights
+    from stem_kernel_tpu.ops.pallas_full_stem import full_stem_banded_pallas_log
+
+    rng = np.random.default_rng(11)
+    comp = {0: 3, 1: 2, 2: 1, 3: 0}
+    n, B = 40, 5
+    codes = np.zeros((B, n), np.uint8)
+    bp = np.zeros((B, n, n), np.float32)
+    lens = np.zeros(B, np.int32)
+    for b in range(B):
+        ln = int(rng.integers(24, n + 1))
+        stem = rng.integers(0, 4, ln // 3)
+        rc = np.array([comp[int(c)] for c in stem[::-1]], np.uint8)
+        mid = rng.integers(0, 4, ln - 2 * len(stem))
+        c = np.concatenate([stem, mid, rc]).astype(np.uint8)
+        codes[b, :ln] = c
+        bp[b, :ln, :ln] = pair_weights(c, ln)
+        lens[b] = ln
+    args = (jnp.asarray(codes), jnp.asarray(np.roll(codes, 1, 0)),
+            jnp.asarray(lens), jnp.asarray(np.roll(lens, 1, 0)),
+            jnp.asarray(bp), jnp.asarray(np.roll(bp, 1, 0)),
+            0.8, 1.0, 0.5)
+    v1 = np.asarray(full_stem_banded_pallas_log(*args, band=6, gang=1))
+    v3 = np.asarray(full_stem_banded_pallas_log(*args, band=6, gang=3))
+    np.testing.assert_allclose(v3, v1, atol=2e-4)
