@@ -74,7 +74,7 @@ class PairKernelEngine:
         features: Mapping[str, np.ndarray],
         *,
         batch_size: int = 512,
-        slab_batches: int = 16,
+        slab_batches: int = 64,
         mesh=None,
         log_values: bool = False,
     ) -> None:
@@ -89,6 +89,12 @@ class PairKernelEngine:
             batch_size = max(n_dev, (batch_size // n_dev) * n_dev)
         self.batch_size = batch_size
         self._slab_batches = max(1, slab_batches)
+        # Round-5 measurement: per-slab dispatch overhead (tunnel RTT +
+        # gather + host fetch) is ~45 ms; at slab_batches=16 a 500-seq BPLA
+        # Gram ran at 140k pairs/s against a 760k pairs/s kernel.  Bigger
+        # slabs amortize it (64 -> 718k, ~123 -> 900k); slab size costs no
+        # memory (the slab program lax.maps per batch internally), only
+        # checkpoint granularity.
         self.features = self.stack_features(features)
         self.n = next(iter(self.features.values())).shape[0]
         self._slab_fns: dict[int, Callable] = {}
@@ -102,6 +108,19 @@ class PairKernelEngine:
         from ..parallel.mesh import replicate
 
         return replicate(self.mesh, {k: np.asarray(v) for k, v in features.items()})
+
+    def _slab_size(self, n_batches: int) -> int:
+        """Batches per slab for a job of ``n_batches``.
+
+        Small problems use an exact-size slab so padding waste stays O(bs);
+        bigger slabs are quantized to powers of two (bounded compiled-
+        program variety) up to the configured maximum.  Checkpoint layout
+        (gram.checkpoint) derives from the same rule, so resume alignment
+        is guaranteed."""
+        sb = min(self._slab_batches, max(1, n_batches))
+        if sb > 16:
+            sb = 1 << (sb.bit_length() - 1)  # floor power of two
+        return sb
 
     def _slab_fn(self, slab_batches: int) -> Callable:
         """Jitted program: evaluate ``slab_batches`` consecutive batches.
@@ -216,8 +235,7 @@ class PairKernelEngine:
             )
         bs = self.batch_size
         n_batches = -(-n_pairs // bs)
-        # Small problems use a smaller slab so padding waste stays O(bs).
-        sb = min(self._slab_batches, max(1, n_batches))
+        sb = self._slab_size(n_batches)
         slab_pairs = sb * bs
         n_slabs = -(-n_pairs // slab_pairs)
         pad = n_slabs * slab_pairs - n_pairs
@@ -272,7 +290,7 @@ class PairKernelEngine:
         n = self.n if n is None else n
         total = n * (n + 1) // 2 if n_pairs is None else n_pairs
         n_batches = -(-total // self.batch_size)
-        sb = min(self._slab_batches, max(1, n_batches))
+        sb = self._slab_size(n_batches)
         fp = features_fingerprint(self.features, extra_features)
         return TileCheckpoint(path, n, sb * self.batch_size, n_pairs=n_pairs,
                               fingerprint=fp)
