@@ -212,6 +212,7 @@ def run_app(
     log_kernel: bool = False,
     featurize_buckets=None,
     merge_aux=None,
+    slab_batches: int = 16,
 ) -> None:
     """Execute the train or predict flow.
 
@@ -223,6 +224,9 @@ def run_app(
     ``merge_aux``: combine train and test-chunk featurizer aux (e.g. ``max``
     for iteration bounds) when streaming predict chunks; None reuses the
     train aux.
+    ``slab_batches``: dispatch granularity of the Gram engine — fast
+    kernels (BPLA/string/simpal) pass 64 to amortize per-slab dispatch
+    latency; compute-bound kernels keep 16 (measured, BASELINE.md).
 
     Device setup happens HERE, inside the binary — the shipped CLIs are the
     distributed programs, exactly as the reference's binaries are the MPI
@@ -255,11 +259,12 @@ def run_app(
                               batch_size=batch_size, mesh=mesh,
                               log_kernel=log_kernel,
                               featurize_buckets=featurize_buckets,
-                              merge_aux=merge_aux)
+                              merge_aux=merge_aux, slab_batches=slab_batches)
 
 
 def _run_app_inner(opts, featurize, make_kernel_fn, *, batch_size, mesh,
-                   log_kernel, featurize_buckets=None, merge_aux=None):
+                   log_kernel, featurize_buckets=None, merge_aux=None,
+                   slab_batches=16):
     from ..parallel.mesh import process_zero
 
     io_rank = process_zero()  # rank-0 I/O (framework.h:135-163)
@@ -283,6 +288,7 @@ def _run_app_inner(opts, featurize, make_kernel_fn, *, batch_size, mesh,
             feats, aux = featurize(train_alns)
             kernel_fn = make_kernel_fn(aux)
             eng = PairKernelEngine(kernel_fn, feats, batch_size=batch_size,
+                                   slab_batches=slab_batches,
                                    mesh=mesh, log_values=log_kernel)
             g = eng.gram(normalize=opts.normalize,
                          checkpoint_path=opts.checkpoint or None)
@@ -311,6 +317,7 @@ def _run_app_inner(opts, featurize, make_kernel_fn, *, batch_size, mesh,
 
     train_feats, aux_tr = featurize(train_alns)
     eng = PairKernelEngine(make_kernel_fn(aux_tr), train_feats,
+                           slab_batches=slab_batches,
                            batch_size=batch_size, mesh=mesh,
                            log_values=log_kernel)
     diag = eng.diagonal(sv_index=sv_index)

@@ -79,7 +79,7 @@ def main(argv=None) -> int:
     def make_fn(_aux):
         return kernel.log_value if use_log else kernel
 
-    run_app(opts, featurize, make_fn, log_kernel=use_log)
+    run_app(opts, featurize, make_fn, log_kernel=use_log, slab_batches=64)
     return 0
 
 

@@ -48,7 +48,7 @@ def main(argv=None) -> int:
     def make_fn(_aux):
         return simpal_kernel_fn(ns.seed_length, ns.tolerance, ns.max_distance)
 
-    run_app(opts, featurize, make_fn)
+    run_app(opts, featurize, make_fn, slab_batches=64)
     return 0
 
 

@@ -38,7 +38,7 @@ def main(argv=None) -> int:
 
         return kernel_fn
 
-    run_app(opts, featurize, make_fn)
+    run_app(opts, featurize, make_fn, slab_batches=64)
     return 0
 
 

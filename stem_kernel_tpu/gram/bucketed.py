@@ -32,7 +32,7 @@ def bucketed_gram(
     *,
     normalize: bool = False,
     batch_size: int = 256,
-    slab_batches: int = 64,
+    slab_batches: int = 16,
     mesh=None,
     log_values: bool = False,
     merge_aux: Callable[[object, object], object] = max,

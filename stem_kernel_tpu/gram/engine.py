@@ -74,7 +74,7 @@ class PairKernelEngine:
         features: Mapping[str, np.ndarray],
         *,
         batch_size: int = 512,
-        slab_batches: int = 64,
+        slab_batches: int = 16,
         mesh=None,
         log_values: bool = False,
     ) -> None:
@@ -89,12 +89,15 @@ class PairKernelEngine:
             batch_size = max(n_dev, (batch_size // n_dev) * n_dev)
         self.batch_size = batch_size
         self._slab_batches = max(1, slab_batches)
-        # Round-5 measurement: per-slab dispatch overhead (tunnel RTT +
-        # gather + host fetch) is ~45 ms; at slab_batches=16 a 500-seq BPLA
-        # Gram ran at 140k pairs/s against a 760k pairs/s kernel.  Bigger
-        # slabs amortize it (64 -> 718k, ~123 -> 900k); slab size costs no
-        # memory (the slab program lax.maps per batch internally), only
-        # checkpoint granularity.
+        # Slab sizing is a measured, kernel-dependent tradeoff (round 5,
+        # BASELINE.md): per-slab dispatch overhead is ~45 ms through the
+        # tunnel, so FAST kernels want big slabs (BPLA 500-seq Gram: 140k
+        # pairs/s at 16 -> 718k at 64), while the compute-bound stem
+        # workload measured ~30% FASTER at 16 than 64 (more in-flight
+        # dispatch overlap).  Default 16 = the compute-bound flagship's
+        # optimum; the fast-kernel CLIs pass slab_batches=64.  Slab size
+        # costs no memory (the slab program lax.maps per batch internally),
+        # only checkpoint granularity.
         self.features = self.stack_features(features)
         self.n = next(iter(self.features.values())).shape[0]
         self._slab_fns: dict[int, Callable] = {}
@@ -120,6 +123,11 @@ class PairKernelEngine:
         sb = min(self._slab_batches, max(1, n_batches))
         if sb > 16:
             sb = 1 << (sb.bit_length() - 1)  # floor power of two
+            # tail padding is REAL compute for compute-bound kernels: shrink
+            # the slab until the padded tail is <= 12.5% of the job (medium
+            # blocks of the bucketed Gram would otherwise pad up to 80%)
+            while sb > 16 and (-n_batches % sb) * 8 > n_batches:
+                sb //= 2
         return sb
 
     def _slab_fn(self, slab_batches: int) -> Callable:
